@@ -1,0 +1,122 @@
+"""Configuration for the TPU-native Kinematic-ICP pipeline.
+
+Mirrors the reference `kinematic_icp::pipeline::Config`
+(/root/reference/cpp/kinematic_icp/pipeline/KinematicICP.hpp:38-60) plus the
+TPU-specific static-shape capacities that replace the reference's dynamically
+sized ``std::vector``/``robin_map`` state.  Everything here is *static* under
+``jax.jit`` — a given ``Config`` value produces one compiled step function.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Algorithm parameters (defaults = reference KinematicICP.hpp:38-60).
+
+    Note the reference ships YAML that overrides two defaults
+    (ros/config/kinematic_icp_ros.yaml): ``deskew: true`` and
+    ``max_num_threads: 1``.  We keep the C++ struct defaults here and let the
+    YAML loader override, exactly like the reference's 3-tier config system.
+    """
+
+    # Preprocessing
+    max_range: float = 100.0
+    min_range: float = 0.0
+    # Mapping parameters
+    voxel_size: float = 1.0
+    max_points_per_voxel: int = 20
+    # Correspondence threshold parameters
+    use_adaptive_threshold: bool = True
+    fixed_threshold: float = 1.0  # ignored if use_adaptive_threshold
+    # Registration parameters
+    max_num_iterations: int = 10
+    convergence_criterion: float = 0.001
+    use_adaptive_odometry_regularization: bool = True
+    fixed_regularization: float = 0.0  # ignored if use_adaptive_odometry_regularization
+    # Motion compensation
+    deskew: bool = False
+
+    # ------------------------------------------------------------------
+    # TPU-specific static-shape capacities (no reference equivalent; they
+    # replace dynamic containers with fixed-capacity padded arrays).
+    # ------------------------------------------------------------------
+    #: padded per-scan point capacity (input bucket size)
+    max_points: int = 65536
+    #: capacity of the 0.5*voxel_size downsampled cloud (map-update cloud)
+    max_downsampled: int = 16384
+    #: capacity of the 1.5*voxel_size downsampled cloud (ICP source keypoints)
+    max_source: int = 8192
+    #: number of slots in the device voxel hash table (power of two)
+    map_capacity: int = 1 << 18
+    #: max linear-probe distance in the open-addressing table
+    max_probes: int = 16
+
+    def __post_init__(self):
+        assert self.map_capacity & (self.map_capacity - 1) == 0, (
+            "map_capacity must be a power of two")
+
+    def map_resolution(self) -> float:
+        """Derived parameter (reference KinematicICP.hpp:46)."""
+        return self.voxel_size / math.sqrt(self.max_points_per_voxel)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class ServerConfig:
+    """Ingestion/serving-layer parameters.
+
+    Mirrors the ROS-parameter surface of the reference
+    `LidarOdometryServer` (LidarOdometryServer.cpp:40-46,127-130) minus the
+    tf-frame plumbing that a pure-array pipeline does not need.
+    """
+
+    lidar_odom_frame: str = "odom_lidar"
+    wheel_odom_frame: str = "odom"
+    base_frame: str = "base_link"
+    publish_odom_tf: bool = True
+    invert_odom_tf: bool = True
+    tf_timeout: float = 0.0
+    position_covariance: float = 0.1
+    orientation_covariance: float = 0.1
+    #: skip registration when wheel-odometry delta is below this
+    #: (reference LidarOdometryServer.cpp:202)
+    stationary_gate: float = 1e-3
+
+
+def load_yaml_config(path: str) -> tuple[Config, ServerConfig]:
+    """Load a reference-style ROS parameter YAML.
+
+    Accepts the exact file the reference ships
+    (ros/config/kinematic_icp_ros.yaml) — including the ROS
+    ``<node>: ros__parameters:`` nesting — as well as a flat mapping.
+    """
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    # Unwrap ROS nesting: {node_name: {ros__parameters: {...}}}
+    params = raw
+    if len(raw) == 1:
+        inner = next(iter(raw.values()))
+        if isinstance(inner, dict) and "ros__parameters" in inner:
+            params = inner["ros__parameters"]
+    if "ros__parameters" in params:
+        params = params["ros__parameters"]
+
+    cfg_fields = {f.name for f in dataclasses.fields(Config)}
+    srv_fields = {f.name for f in dataclasses.fields(ServerConfig)}
+    cfg_kw = {k: v for k, v in params.items() if k in cfg_fields}
+    srv_kw = {k: v for k, v in params.items() if k in srv_fields}
+    cfg = Config(**cfg_kw)
+    # Reference guard: max_range < min_range => min_range = 0
+    # (LidarOdometryServer.cpp:98-102)
+    if cfg.max_range < cfg.min_range:
+        cfg = cfg.replace(min_range=0.0)
+    return cfg, ServerConfig(**srv_kw)

@@ -1,0 +1,154 @@
+"""The per-frame odometry pipeline (TPU-native ``KinematicICP``).
+
+Functional equivalent of ``kinematic_icp::pipeline::KinematicICP``
+(/root/reference/cpp/kinematic_icp/pipeline/KinematicICP.{hpp,cpp}): the C++
+class's mutable members (pose, voxel map, threshold accumulators) become an
+explicit ``OdometryState`` pytree, and ``RegisterFrame`` becomes a pure
+function ``register_frame(state, inputs) -> (state', outputs)`` that jits to
+one XLA program per (Config, point-capacity) pair.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..ops import hashmap, preprocessing, registration, se3, threshold, voxel
+
+
+class OdometryState(NamedTuple):
+    pose: jnp.ndarray                 # (4, 4) — last_pose_
+    map: hashmap.MapState             # local_map_
+    threshold: threshold.ThresholdState  # correspondence_threshold_
+
+
+class FrameOutputs(NamedTuple):
+    """Per-frame outputs, mirroring the reference's return + debug topics."""
+    frame: jnp.ndarray          # (N, 3) deskewed frame in base coords
+    frame_mask: jnp.ndarray     # (N,)
+    source: jnp.ndarray         # (S, 3) ICP keypoints (base/local frame)
+    source_mask: jnp.ndarray    # (S,)
+    pose: jnp.ndarray           # (4, 4) new pose
+    debug: registration.RegistrationDebug
+
+
+def init_state(config: Config, dtype=jnp.float32,
+               initial_pose: jnp.ndarray | None = None) -> OdometryState:
+    pose = (jnp.eye(4, dtype=dtype) if initial_pose is None
+            else jnp.asarray(initial_pose, dtype=dtype))
+    return OdometryState(
+        pose=pose,
+        map=hashmap.empty(config.map_capacity, config.max_points_per_voxel, dtype),
+        threshold=threshold.init_state(dtype),
+    )
+
+
+def set_pose(state: OdometryState, pose, config: Config) -> OdometryState:
+    """SetPose: reset pose, clear map and threshold (KinematicICP.hpp:86-90)."""
+    return OdometryState(
+        pose=jnp.asarray(pose, dtype=state.pose.dtype),
+        map=hashmap.clear(state.map),
+        threshold=threshold.init_state(state.pose.dtype),
+    )
+
+
+def register_frame(state: OdometryState, points, timestamps, mask,
+                   has_timestamps, lidar_to_base, relative_odometry,
+                   config: Config) -> tuple[OdometryState, FrameOutputs]:
+    """One odometry step (KinematicICP.cpp:48-85).
+
+    Args:
+      state: current odometry state.
+      points: (N, 3) raw scan in the lidar frame (padded).
+      timestamps: (N,) per-point times normalized to [0, 1] (zeros if absent).
+      mask: (N,) validity of the padded rows.
+      has_timestamps: scalar bool — whether the timestamp field existed
+        (missing field disables deskew, reference TimeStampHandler.cpp:51-54).
+      lidar_to_base: (4, 4) static extrinsic.
+      relative_odometry: (4, 4) wheel odometry delta in the base frame.
+      config: static configuration (one jit specialization per value).
+    """
+    dtype = state.pose.dtype
+    points = points.astype(dtype)
+
+    # Deskew happens in the lidar frame: conjugate the base-frame odometry by
+    # the extrinsic (KinematicICP.cpp:53-55).
+    ext_inv = se3.inverse(lidar_to_base)
+    rel_odom_in_lidar = ext_inv @ relative_odometry @ lidar_to_base
+
+    if config.deskew:
+        frame, frame_mask = preprocessing.preprocess(
+            points, timestamps, mask, rel_odom_in_lidar,
+            min_range=config.min_range, max_range=config.max_range,
+            deskew_enabled=True, has_timestamps=has_timestamps)
+    else:
+        frame = points
+        frame_mask = preprocessing.range_filter_mask(
+            points, mask, config.min_range, config.max_range)
+
+    # To base frame (KinematicICP.cpp:59).
+    frame_in_base = frame @ lidar_to_base[:3, :3].T + lidar_to_base[:3, 3]
+
+    # Double voxel downsample (KinematicICP.cpp:38-44, 61-62).
+    source, source_mask, frame_ds, frame_ds_mask = voxel.double_downsample(
+        frame_in_base, frame_mask, config.voxel_size,
+        max_downsampled=config.max_downsampled, max_source=config.max_source)
+
+    # Adaptive correspondence threshold tau (CorrespondenceThreshold.cpp:49-56).
+    tau = threshold.compute_threshold(
+        state.threshold,
+        map_discretization_error=config.map_resolution(),
+        use_adaptive=config.use_adaptive_threshold,
+        fixed_threshold=config.fixed_threshold)
+
+    # Kinematic ICP (Registration.cpp:151-190).
+    new_pose, debug = registration.compute_robot_motion(
+        state.map, source, source_mask, state.pose, relative_odometry, tau,
+        voxel_size=config.voxel_size, max_probes=config.max_probes,
+        max_num_iterations=config.max_num_iterations,
+        convergence_criterion=config.convergence_criterion,
+        use_adaptive_odometry_regularization=(
+            config.use_adaptive_odometry_regularization),
+        fixed_regularization=config.fixed_regularization)
+
+    # odometry_error = (last * rel_odom)^-1 * new  (KinematicICP.cpp:75).
+    prediction = state.pose @ relative_odometry
+    odometry_error = se3.inverse(prediction) @ new_pose
+
+    new_threshold = threshold.update_odometry_error(
+        state.threshold, odometry_error,
+        max_range=config.max_range,
+        use_adaptive=config.use_adaptive_threshold)
+
+    new_map = hashmap.update(
+        state.map, frame_ds, frame_ds_mask, new_pose,
+        config.voxel_size, config.max_range, config.max_probes)
+
+    new_state = OdometryState(pose=new_pose, map=new_map, threshold=new_threshold)
+    outputs = FrameOutputs(
+        frame=frame_in_base, frame_mask=frame_mask,
+        source=source, source_mask=source_mask,
+        pose=new_pose, debug=debug)
+    return new_state, outputs
+
+
+@functools.lru_cache(maxsize=32)
+def make_step(config: Config, donate: bool = True):
+    """Build the jitted step function for a given static config.
+
+    The state argument is donated so the (large) map buffers update in place.
+    """
+    base = functools.partial(register_frame, config=config)
+
+    def fn(*args, **kwargs):
+        # All matmuls in this pipeline are tiny (3x3 pose algebra, Nx3 point
+        # transforms); on TPU the MXU's default bf16 passes would inject
+        # centimetre-level coordinate noise, so force full fp32 precision.
+        with jax.default_matmul_precision("highest"):
+            return base(*args, **kwargs)
+
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())

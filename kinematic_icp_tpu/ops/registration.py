@@ -1,0 +1,160 @@
+"""Kinematically-constrained ICP (2-DoF Gauss-Newton on the unicycle model).
+
+TPU-native reimplementation of ``kinematic_icp::KinematicRegistration``
+(/root/reference/cpp/kinematic_icp/registration/Registration.cpp):
+
+  * initial guess = ``last_pose * relative_wheel_odometry``       (cpp:156)
+  * data association: NN lookup in the voxel map, keep dist < tau (cpp:62-81)
+  * adaptive Tikhonov regularizer beta = 1/mean residual^2 from the initial
+    guess (cpp:48-60)
+  * per iteration: 2x2 normal equations ``JTJ/N + diag(beta, 0)``, solve,
+    compose through the unicycle motion model, re-associate, break when
+    ``|dx| < convergence_criterion``                               (cpp:179-187)
+  * Jacobian columns ``R e_x`` and ``R (-s_y, s_x, 0)``            (cpp:89-91)
+
+The TBB parallel_for/parallel_reduce over points become one fused masked
+reduction; the GN loop is a ``lax.while_loop`` with static shapes.  With no
+correspondences (e.g. empty map) the perturbation is forced to zero, so the
+loop exits immediately and the initial guess is returned — matching the
+reference's early return for an empty map (cpp:157).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import hashmap, motion_model
+
+#: reference uses DBL_MIN; a float32-safe tiny value serves the same purpose
+_EPSILON = 1e-30
+
+
+class RegistrationDebug(NamedTuple):
+    iterations: jnp.ndarray        # int32 — GN iterations executed
+    num_correspondences: jnp.ndarray  # int32 — at the last association
+
+
+def data_association(m: hashmap.MapState, source, source_mask, pose,
+                     max_correspondence_distance, voxel_size: float,
+                     max_probes: int):
+    """Associate local-frame source points to map points (Registration.cpp:62-81).
+
+    Returns (targets (N, 3), corr_mask (N,)): the stored pairing is
+    (local source point, world target point), exactly like the reference.
+    """
+    world = source @ pose[:3, :3].T + pose[:3, 3]
+    targets, dist = hashmap.nearest_neighbor(
+        m, world, source_mask, voxel_size, max_probes)
+    corr_mask = source_mask & (dist < max_correspondence_distance)
+    return targets, corr_mask
+
+
+def compute_odometry_regularization(source, targets, corr_mask, pose):
+    """beta = 1 / (mean ||T s - t||^2 + eps)  (Registration.cpp:48-60).
+
+    With zero correspondences the reference never reaches this code (empty
+    map early-out); we return 0 (no regularization) in that case.
+    """
+    world = source @ pose[:3, :3].T + pose[:3, 3]
+    sq = jnp.sum((world - targets) ** 2, axis=-1)
+    n = jnp.sum(corr_mask)
+    sse = jnp.sum(jnp.where(corr_mask, sq, 0.0))
+    mean = sse / jnp.maximum(n, 1)
+    beta = 1.0 / (mean + _EPSILON)
+    return jnp.where(n > 0, beta, 0.0)
+
+
+def compute_perturbation(source, targets, corr_mask, pose, beta):
+    """Build and solve the 2x2 normal equations (Registration.cpp:83-126).
+
+    residual_i = T s_i - t_i
+    J_i = [R e_x | R (-s_y, s_x, 0)]            (3x2)
+    dx = -(JTJ/N + diag(beta, 0))^-1 (JTr/N)    (2,)
+    """
+    R = pose[:3, :3]
+    t = pose[:3, 3]
+    world = source @ R.T + t
+    residual = world - targets                       # (N, 3)
+
+    j0 = R[:, 0]                                     # R e_x, constant per frame
+    # R @ (-s_y, s_x, 0) per point
+    j1 = (-source[:, 1:2]) * R[:, 0][None, :] \
+        + source[:, 0:1] * R[:, 1][None, :]          # (N, 3)
+
+    w = corr_mask.astype(source.dtype)
+    # JTJ entries (2x2 symmetric) and JTr (2,) as masked sums.
+    a00 = jnp.sum(w) * jnp.dot(j0, j0)               # j0 constant: sum w * |j0|^2
+    a01 = jnp.sum(w * (j1 @ j0))
+    a11 = jnp.sum(w * jnp.sum(j1 * j1, axis=-1))
+    b0 = jnp.sum(w * (residual @ j0))
+    b1 = jnp.sum(w * jnp.sum(j1 * residual, axis=-1))
+
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    a00, a01, a11 = a00 / n, a01 / n, a11 / n
+    b0, b1 = b0 / n, b1 / n
+    a00 = a00 + beta                                 # Omega = diag(beta, 0)
+
+    det = a00 * a11 - a01 * a01
+    safe_det = jnp.where(jnp.abs(det) > _EPSILON, det, 1.0)
+    dx0 = -(a11 * b0 - a01 * b1) / safe_det
+    dx1 = -(a00 * b1 - a01 * b0) / safe_det
+    dx = jnp.stack([dx0, dx1])
+    # No correspondences or singular system -> no update.
+    ok = (jnp.sum(corr_mask) > 0) & (jnp.abs(det) > _EPSILON)
+    return jnp.where(ok, dx, jnp.zeros_like(dx))
+
+
+def compute_robot_motion(m: hashmap.MapState, source, source_mask, last_pose,
+                         relative_wheel_odometry, max_correspondence_distance,
+                         *, voxel_size: float, max_probes: int,
+                         max_num_iterations: int, convergence_criterion: float,
+                         use_adaptive_odometry_regularization: bool,
+                         fixed_regularization: float):
+    """Full ComputeRobotMotion (Registration.cpp:151-190).
+
+    Returns (new_pose (4, 4), RegistrationDebug).
+    """
+    guess = last_pose @ relative_wheel_odometry
+
+    targets, corr_mask = data_association(
+        m, source, source_mask, guess, max_correspondence_distance,
+        voxel_size, max_probes)
+
+    if use_adaptive_odometry_regularization:
+        beta = compute_odometry_regularization(source, targets, corr_mask, guess)
+    else:
+        beta = jnp.asarray(fixed_regularization, dtype=source.dtype)
+
+    def cond_fn(carry):
+        _, _, _, it, converged = carry
+        return (it < max_num_iterations) & ~converged
+
+    def body_fn(carry):
+        pose, targets, corr_mask, it, _ = carry
+        dx = compute_perturbation(source, targets, corr_mask, pose, beta)
+        delta = motion_model.motion_model(dx)
+        pose = pose @ delta
+        converged = jnp.linalg.norm(dx) < convergence_criterion
+        # Re-associate only when the loop will continue (the reference
+        # recomputes correspondences at the end of every non-final
+        # iteration, Registration.cpp:185-186).
+        targets, corr_mask = jax.lax.cond(
+            converged | (it + 1 >= max_num_iterations),
+            lambda: (targets, corr_mask),
+            lambda: data_association(
+                m, source, source_mask, pose, max_correspondence_distance,
+                voxel_size, max_probes),
+        )
+        return pose, targets, corr_mask, it + 1, converged
+
+    pose, targets, corr_mask, iters, _ = jax.lax.while_loop(
+        cond_fn, body_fn, (guess, targets, corr_mask, jnp.int32(0), jnp.bool_(False)))
+
+    debug = RegistrationDebug(
+        iterations=iters,
+        num_correspondences=jnp.sum(corr_mask).astype(jnp.int32),
+    )
+    return pose, debug

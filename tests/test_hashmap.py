@@ -1,0 +1,211 @@
+"""Tests for the device voxel hash map vs brute-force / dict oracles."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from kinematic_icp_tpu.ops import hashmap
+
+RNG = np.random.default_rng(4)
+
+CAP = 1 << 12
+K = 5
+VS = 1.0
+P = 8
+
+
+def make_map():
+    return hashmap.empty(CAP, K)
+
+
+def insert(m, pts, mask=None):
+    pts = np.asarray(pts, np.float32)
+    if mask is None:
+        mask = np.ones(len(pts), bool)
+    return hashmap.insert(m, jnp.asarray(pts), jnp.asarray(mask), VS, P)
+
+
+def oracle_map(point_batches, k=K, vs=VS):
+    """Dict-based voxel map with first-come-kept blocks."""
+    grid = {}
+    for batch in point_batches:
+        for p in batch:
+            key = tuple(np.floor(np.asarray(p, np.float64) / vs).astype(np.int64))
+            block = grid.setdefault(key, [])
+            if len(block) < k:
+                block.append(np.asarray(p, np.float64))
+    return grid
+
+
+def oracle_nn(grid, q, vs=VS):
+    """27-neighborhood closest neighbor."""
+    kq = np.floor(np.asarray(q, np.float64) / vs).astype(np.int64)
+    best, best_d = None, np.inf
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                for p in grid.get((kq[0] + dx, kq[1] + dy, kq[2] + dz), []):
+                    d = np.linalg.norm(p - q)
+                    if d < best_d:
+                        best, best_d = p, d
+    return best, best_d
+
+
+class TestInsert:
+    def test_basic_insert_and_count(self):
+        m = insert(make_map(), [[0.5, 0.5, 0.5], [1.5, 0.5, 0.5]])
+        assert int(hashmap.num_voxels(m)) == 2
+        assert int(jnp.sum(m.counts)) == 2
+
+    def test_block_capacity_first_come_kept(self):
+        pts = np.tile([[0.5, 0.5, 0.5]], (K + 3, 1)) + \
+            RNG.uniform(0, 0.4, size=(K + 3, 3))
+        m = insert(make_map(), pts)
+        assert int(hashmap.num_voxels(m)) == 1
+        assert int(jnp.sum(m.counts)) == K
+        # the first K points (input order) must be the stored ones
+        slot = int(jnp.argmax(m.counts))
+        stored = np.asarray(m.points[slot, :K])
+        np.testing.assert_allclose(stored, pts[:K].astype(np.float32), atol=1e-6)
+
+    def test_incremental_append(self):
+        m = insert(make_map(), [[0.1, 0.1, 0.1]])
+        m = insert(m, [[0.2, 0.2, 0.2], [0.3, 0.3, 0.3]])
+        assert int(hashmap.num_voxels(m)) == 1
+        assert int(jnp.sum(m.counts)) == 3
+
+    def test_masked_points_skipped(self):
+        m = insert(make_map(), [[0.1, 0.1, 0.1], [5.5, 5.5, 5.5]],
+                   mask=np.array([True, False]))
+        assert int(hashmap.num_voxels(m)) == 1
+
+    def test_many_random_matches_oracle(self):
+        pts = RNG.uniform(-15, 15, size=(800, 3))
+        m = insert(make_map(), pts)
+        ref = oracle_map([pts])
+        assert int(hashmap.num_voxels(m)) == len(ref)
+        assert int(jnp.sum(m.counts)) == sum(len(b) for b in ref.values())
+
+    def test_is_empty(self):
+        m = make_map()
+        assert bool(hashmap.is_empty(m))
+        m = insert(m, [[0.5, 0.5, 0.5]])
+        assert not bool(hashmap.is_empty(m))
+        assert bool(hashmap.is_empty(hashmap.clear(m)))
+
+
+class TestNearestNeighbor:
+    def test_exact_match(self):
+        m = insert(make_map(), [[0.5, 0.5, 0.5]])
+        nn, d = hashmap.nearest_neighbor(
+            m, jnp.array([[0.5, 0.5, 0.5]]), jnp.array([True]), VS, P)
+        assert float(d[0]) < 1e-6
+
+    def test_neighboring_voxel(self):
+        m = insert(make_map(), [[1.1, 0.5, 0.5]])
+        nn, d = hashmap.nearest_neighbor(
+            m, jnp.array([[0.9, 0.5, 0.5]]), jnp.array([True]), VS, P)
+        assert abs(float(d[0]) - 0.2) < 1e-5
+        np.testing.assert_allclose(np.asarray(nn[0]), [1.1, 0.5, 0.5], atol=1e-6)
+
+    def test_outside_neighborhood_returns_inf(self):
+        m = insert(make_map(), [[10.5, 10.5, 10.5]])
+        _, d = hashmap.nearest_neighbor(
+            m, jnp.array([[0.5, 0.5, 0.5]]), jnp.array([True]), VS, P)
+        assert np.isinf(float(d[0]))
+
+    def test_masked_query_inf(self):
+        m = insert(make_map(), [[0.5, 0.5, 0.5]])
+        _, d = hashmap.nearest_neighbor(
+            m, jnp.array([[0.5, 0.5, 0.5]]), jnp.array([False]), VS, P)
+        assert np.isinf(float(d[0]))
+
+    def test_random_vs_oracle(self):
+        pts = RNG.uniform(-10, 10, size=(600, 3))
+        m = insert(make_map(), pts)
+        grid = oracle_map([pts])
+        queries = RNG.uniform(-10, 10, size=(100, 3)).astype(np.float32)
+        nn, d = hashmap.nearest_neighbor(
+            m, jnp.asarray(queries), jnp.ones(100, bool), VS, P)
+        nn, d = np.asarray(nn), np.asarray(d)
+        for i, q in enumerate(queries):
+            ref_p, ref_d = oracle_nn(grid, q)
+            if np.isinf(ref_d):
+                assert np.isinf(d[i])
+            else:
+                assert abs(d[i] - ref_d) < 1e-4, (i, d[i], ref_d)
+
+
+class TestEvictAndUpdate:
+    def test_evict_far(self):
+        m = insert(make_map(), [[0.5, 0.5, 0.5], [50.5, 0.5, 0.5]])
+        m = hashmap.evict_far(m, jnp.zeros(3), 10.0)
+        assert int(hashmap.num_voxels(m)) == 1
+        _, d = hashmap.nearest_neighbor(
+            m, jnp.array([[0.5, 0.5, 0.5]]), jnp.array([True]), VS, P)
+        assert float(d[0]) < 1e-6
+
+    def test_evict_uses_first_point(self):
+        # Block's first point decides eviction (v1.2.0 semantics).
+        m = insert(make_map(), [[9.9, 0.0, 0.5], [9.2, 0.0, 0.5]])
+        # both in voxel (9, 0, 0); first point at 9.9 (norm > 9.5)
+        m = hashmap.evict_far(m, jnp.zeros(3), 9.5)
+        assert int(hashmap.num_voxels(m)) == 0
+
+    def test_slot_reuse_after_eviction(self):
+        m = insert(make_map(), [[50.5, 0.5, 0.5]])
+        m = hashmap.evict_far(m, jnp.zeros(3), 10.0)
+        m = insert(m, [[50.5, 0.5, 0.5]])
+        assert int(hashmap.num_voxels(m)) == 1
+        nn, d = hashmap.nearest_neighbor(
+            m, jnp.array([[50.5, 0.5, 0.5]]), jnp.array([True]), VS, P)
+        assert float(d[0]) < 1e-6
+
+    def test_update_transform_insert_evict(self):
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = [100.0, 0, 0]
+        local_pts = np.array([[1.0, 0.5, 0.5], [-0.5, 0.5, 0.5]], np.float32)
+        m = hashmap.update(make_map(), jnp.asarray(local_pts),
+                           jnp.ones(2, bool), jnp.asarray(pose), VS, 50.0, P)
+        assert int(hashmap.num_voxels(m)) == 2
+        # stored in world frame
+        nn, d = hashmap.nearest_neighbor(
+            m, jnp.array([[101.0, 0.5, 0.5]]), jnp.array([True]), VS, P)
+        assert float(d[0]) < 1e-5
+
+    def test_pointcloud_roundtrip(self):
+        pts = RNG.uniform(-5, 5, size=(100, 3))
+        m = insert(make_map(), pts)
+        cloud, mask = hashmap.pointcloud(m)
+        stored = np.asarray(cloud)[np.asarray(mask)]
+        grid = oracle_map([pts])
+        ref = np.concatenate([np.array(b) for b in grid.values()])
+        assert len(stored) == len(ref)
+        assert ({tuple(np.round(np.asarray(p, np.float64), 4)) for p in stored}
+                == {tuple(np.round(np.asarray(p, np.float64), 4))
+                    for p in ref.astype(np.float32)})
+
+
+class TestProbeRobustness:
+    def test_window_survives_holes(self):
+        # Insert colliding-ish keys, evict one in the middle of a cluster,
+        # then verify the others are still findable (full-window scan).
+        pts = np.array([[i + 0.5, 0.5, 0.5] for i in range(64)], np.float32)
+        m = insert(make_map(), pts)
+        # evict everything farther than 32 from origin
+        m = hashmap.evict_far(m, jnp.zeros(3), 32.0)
+        remaining = int(hashmap.num_voxels(m))
+        assert 0 < remaining < 64
+        q = jnp.asarray(pts[:16])
+        _, d = hashmap.nearest_neighbor(m, q, jnp.ones(16, bool), VS, P)
+        assert np.all(np.asarray(d) < 1e-5)
+
+    def test_high_load_factor_inserts(self):
+        # ~50% load: all inserts must still land (with drops counted fairly).
+        n = CAP // 2
+        pts = (RNG.permutation(n * 4)[:n, None] * np.array([[1.0, 0, 0]])
+               + 0.5).astype(np.float32)
+        m = insert(make_map(), pts)
+        kept = int(hashmap.num_voxels(m))
+        # bounded probing may drop a few at this load, but the vast
+        # majority must be stored
+        assert kept > 0.97 * n

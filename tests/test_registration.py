@@ -1,0 +1,173 @@
+"""Tests for the kinematically-constrained Gauss-Newton registration."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from kinematic_icp_tpu.ops import hashmap, registration, se3
+
+RNG = np.random.default_rng(5)
+
+CAP = 1 << 13
+K = 20
+VS = 1.0
+P = 8
+
+GN_KW = dict(voxel_size=VS, max_probes=P, max_num_iterations=20,
+             convergence_criterion=1e-4,
+             use_adaptive_odometry_regularization=True,
+             fixed_regularization=0.0)
+
+
+def make_world_points(n=1500):
+    """Points on the walls of a rectangular room (planar-robot world)."""
+    pts = []
+    for _ in range(n):
+        wall = RNG.integers(0, 4)
+        s = RNG.uniform(-20, 20)
+        z = RNG.uniform(0.0, 3.0)
+        if wall == 0:
+            pts.append([s, -20.0, z])
+        elif wall == 1:
+            pts.append([s, 20.0, z])
+        elif wall == 2:
+            pts.append([-20.0, s, z])
+        else:
+            pts.append([20.0, s, z])
+    return np.array(pts, dtype=np.float32)
+
+
+def build_map(world_pts):
+    m = hashmap.empty(CAP, K)
+    return hashmap.insert(m, jnp.asarray(world_pts),
+                          jnp.ones(len(world_pts), bool), VS, P)
+
+
+def planar_pose(x, y, yaw):
+    T = np.eye(4, dtype=np.float32)
+    c, s = np.cos(yaw), np.sin(yaw)
+    T[0, 0], T[0, 1], T[1, 0], T[1, 1] = c, -s, s, c
+    T[:3, 3] = [x, y, 0.0]
+    return jnp.asarray(T)
+
+
+class TestPerturbation:
+    def test_zero_residual_zero_update(self):
+        src = RNG.uniform(-5, 5, size=(100, 3)).astype(np.float32)
+        pose = planar_pose(1.0, 2.0, 0.3)
+        world = np.asarray(se3.apply(pose, jnp.asarray(src)))
+        dx = registration.compute_perturbation(
+            jnp.asarray(src), jnp.asarray(world), jnp.ones(100, bool),
+            pose, jnp.float32(0.0))
+        np.testing.assert_allclose(np.asarray(dx), 0.0, atol=1e-5)
+
+    def test_no_correspondences_zero(self):
+        src = RNG.uniform(-5, 5, size=(10, 3)).astype(np.float32)
+        dx = registration.compute_perturbation(
+            jnp.asarray(src), jnp.asarray(src), jnp.zeros(10, bool),
+            jnp.eye(4), jnp.float32(0.0))
+        np.testing.assert_allclose(np.asarray(dx), 0.0)
+
+    def test_forward_offset_recovered(self):
+        # targets = source shifted +0.3 in x: expect dx ~ (0.3, 0)
+        src = RNG.uniform(-5, 5, size=(200, 3)).astype(np.float32)
+        tgt = src + np.array([0.3, 0, 0], np.float32)
+        dx = np.asarray(registration.compute_perturbation(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.ones(200, bool),
+            jnp.eye(4), jnp.float32(0.0)))
+        assert abs(dx[0] - 0.3) < 1e-4
+        assert abs(dx[1]) < 1e-4
+
+    def test_yaw_offset_recovered(self):
+        yaw = 0.05
+        src = RNG.uniform(-5, 5, size=(400, 3)).astype(np.float32)
+        Rz = np.asarray(planar_pose(0, 0, yaw))[:3, :3]
+        tgt = (src @ Rz.T).astype(np.float32)
+        dx = np.asarray(registration.compute_perturbation(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.ones(400, bool),
+            jnp.eye(4), jnp.float32(0.0)))
+        assert abs(dx[1] - yaw) < 5e-3
+
+    def test_regularization_shrinks_displacement(self):
+        src = RNG.uniform(-5, 5, size=(200, 3)).astype(np.float32)
+        tgt = src + np.array([0.3, 0, 0], np.float32)
+        dx_free = np.asarray(registration.compute_perturbation(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.ones(200, bool),
+            jnp.eye(4), jnp.float32(0.0)))
+        dx_reg = np.asarray(registration.compute_perturbation(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.ones(200, bool),
+            jnp.eye(4), jnp.float32(10.0)))
+        assert abs(dx_reg[0]) < abs(dx_free[0])
+
+
+class TestDataAssociation:
+    def test_threshold_gates(self):
+        world = make_world_points(500)
+        m = build_map(world)
+        src = world[:100] + np.array([0.4, 0, 0], np.float32)
+        _, mask_tight = registration.data_association(
+            m, jnp.asarray(src), jnp.ones(100, bool), jnp.eye(4),
+            jnp.float32(0.05), VS, P)
+        _, mask_loose = registration.data_association(
+            m, jnp.asarray(src), jnp.ones(100, bool), jnp.eye(4),
+            jnp.float32(1.0), VS, P)
+        assert int(jnp.sum(mask_tight)) < int(jnp.sum(mask_loose))
+        assert int(jnp.sum(mask_loose)) == 100
+
+
+class TestComputeRobotMotion:
+    def test_empty_map_returns_guess(self):
+        m = hashmap.empty(CAP, K)
+        src = RNG.uniform(-5, 5, size=(100, 3)).astype(np.float32)
+        last = planar_pose(1.0, 0.0, 0.1)
+        rel = planar_pose(0.5, 0.0, 0.02)
+        pose, dbg = registration.compute_robot_motion(
+            m, jnp.asarray(src), jnp.ones(100, bool), last, rel,
+            jnp.float32(1.0), **GN_KW)
+        np.testing.assert_allclose(np.asarray(pose), np.asarray(last @ rel),
+                                   atol=1e-6)
+        assert int(dbg.num_correspondences) == 0
+
+    def test_recovers_true_motion_from_biased_odometry(self):
+        """Scan rendered at true pose; wheel odometry biased — ICP must fix it."""
+        world = make_world_points(3000)
+        m = build_map(world)
+
+        true_pose_np = np.asarray(planar_pose(0.5, 0.2, 0.05), np.float64)
+        # local scan = world points (within range) seen from the true pose
+        R, t = true_pose_np[:3, :3], true_pose_np[:3, 3]
+        local = ((world.astype(np.float64) - t) @ R).astype(np.float32)
+        keep = np.linalg.norm(local, axis=1) < 30.0
+        local = local[keep][:1024]
+        n = len(local)
+
+        last = planar_pose(0, 0, 0)
+        # biased odometry guess: off by (0.15m, 0.1m, 0.03rad)
+        rel_guess = planar_pose(0.35, 0.1, 0.02)
+        pose, dbg = registration.compute_robot_motion(
+            m, jnp.asarray(local), jnp.ones(n, bool), last, rel_guess,
+            jnp.float32(2.0), **GN_KW)
+        pose = np.asarray(pose, np.float64)
+        err = np.linalg.inv(pose) @ true_pose_np
+        trans_err = np.linalg.norm(err[:3, 3])
+        # The unicycle model can only correct (rho, theta); lateral bias is
+        # only partially correctable in one step, but the error must shrink
+        # substantially vs the guess.
+        guess_err = np.linalg.inv(np.asarray(last @ rel_guess)) @ true_pose_np
+        assert trans_err < 0.6 * np.linalg.norm(guess_err[:3, 3])
+        assert int(dbg.iterations) >= 1
+
+    def test_perfect_guess_converges_immediately(self):
+        world = make_world_points(2000)
+        m = build_map(world)
+        true_pose = planar_pose(0.5, 0.0, 0.02)
+        tp = np.asarray(true_pose, np.float64)
+        local = ((world.astype(np.float64) - tp[:3, 3]) @ tp[:3, :3])
+        local = local[np.linalg.norm(local, axis=1) < 30.0][:1024]
+        local = local.astype(np.float32)
+        pose, dbg = registration.compute_robot_motion(
+            m, jnp.asarray(local), jnp.ones(len(local), bool),
+            jnp.eye(4), true_pose, jnp.float32(2.0), **GN_KW)
+        err = np.linalg.inv(np.asarray(pose, np.float64)) @ tp
+        assert np.linalg.norm(err[:3, 3]) < 5e-3
+        # converged fast
+        assert int(dbg.iterations) <= 3
