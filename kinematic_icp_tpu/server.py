@@ -1,0 +1,142 @@
+"""Host-side odometry server: the L2 glue layer, ROS-free.
+
+TPU-native replacement for the reference ``LidarOdometryServer``
+(/root/reference/ros/src/kinematic_icp_ros/server/LidarOdometryServer.cpp):
+instead of ROS messages/tf it consumes plain numpy arrays from any ingestion
+source (mcap reader, synthetic generator, live feed), handles the
+stationary-skip gate, pads variable-length scans into static shape buckets
+(one jit specialization per bucket), tracks stamped poses, and computes the
+published twist.  Heavy state (map) lives on device; only the 4x4 pose is
+mirrored to host per frame.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Config, ServerConfig
+from .models import pipeline
+from .oracle import reference as _ref  # float64 SE(3) helpers for host math
+
+
+def next_bucket(n: int, max_points: int, min_bucket: int = 1024) -> int:
+    """Smallest power-of-two >= n (clamped to [min_bucket, max_points])."""
+    b = min_bucket
+    while b < n:
+        b *= 2
+    return min(b, max_points)
+
+
+class LidarOdometryServer:
+    """Stateful odometry service over the jitted pipeline step.
+
+    Mirrors the reference server's behavior:
+      * lazy pose initialization from an externally supplied initial pose
+        (the tf ``odom -> base`` seed, LidarOdometryServer.cpp:160-184),
+      * per-frame stationary gate ``|log(delta)| > 1e-3`` (cpp:202),
+      * twist = log(last^-1 new)/dt (cpp:210-214),
+      * ``set_pose`` service that re-seeds the pose and clears map+threshold.
+    """
+
+    def __init__(self, config: Config | None = None,
+                 server_config: ServerConfig | None = None,
+                 extrinsic=None, initial_pose=None, dtype=jnp.float32):
+        from .utils.compilation_cache import enable_compilation_cache
+        enable_compilation_cache()
+        self.config = config or Config()
+        self.server_config = server_config or ServerConfig()
+        self.extrinsic = np.eye(4) if extrinsic is None else np.asarray(
+            extrinsic, np.float64)
+        self.dtype = dtype
+        self.state = pipeline.init_state(self.config, dtype, initial_pose)
+        self._steps = {}
+        self.last_stamp: float | None = None
+        self.poses_with_stamps: list[tuple[float, np.ndarray]] = []
+        self.frames_registered = 0
+        self.frames_skipped = 0
+
+    # ------------------------------------------------------------------
+    @property
+    def pose(self) -> np.ndarray:
+        return np.asarray(self.state.pose, np.float64)
+
+    def set_pose(self, pose):
+        """Re-seed pose; clears map and threshold (KinematicICP.hpp:86-90)."""
+        self.state = pipeline.set_pose(self.state, jnp.asarray(
+            np.asarray(pose, np.float64), dtype=self.dtype), self.config)
+
+    def local_map_pointcloud(self) -> np.ndarray:
+        from .ops import hashmap
+        pts, mask = hashmap.pointcloud(self.state.map)
+        return np.asarray(pts)[np.asarray(mask)]
+
+    # ------------------------------------------------------------------
+    def _step_for(self, bucket: int):
+        if bucket not in self._steps:
+            cfg = self.config.replace(max_points=bucket)
+            self._steps[bucket] = pipeline.make_step(cfg, donate=True)
+        return self._steps[bucket]
+
+    def register_frame(self, points, timestamps=None, relative_odometry=None,
+                       stamp: float | None = None):
+        """Process one scan.
+
+        Args:
+          points: (N, 3) float array, lidar frame.
+          timestamps: optional (N,) per-point times normalized to [0, 1]
+            (missing -> deskew disabled for this frame, like the reference).
+          relative_odometry: (4, 4) wheel odometry delta in the base frame
+            (identity if unavailable).
+          stamp: scan end timestamp in seconds (for twist & TUM output).
+
+        Returns dict with pose, twist (6,) or None, registered: bool.
+        """
+        rel = (np.eye(4) if relative_odometry is None
+               else np.asarray(relative_odometry, np.float64))
+        last_pose = self.pose
+
+        # Stationary gate (LidarOdometryServer.cpp:202).
+        gate = float(np.linalg.norm(_ref.se3_log(rel)))
+        registered = False
+        if gate > self.server_config.stationary_gate:
+            points = np.asarray(points, np.float32).reshape(-1, 3)
+            n = len(points)
+            bucket = next_bucket(max(n, 1), self.config.max_points)
+            npts = min(n, bucket)
+            pad_pts = np.zeros((bucket, 3), np.float32)
+            pad_pts[:npts] = points[:npts]
+            pad_ts = np.zeros((bucket,), np.float32)
+            has_ts = timestamps is not None and len(timestamps) == n
+            if has_ts:
+                pad_ts[:npts] = np.asarray(timestamps, np.float32)[:npts]
+            mask = np.arange(bucket) < npts
+
+            step = self._step_for(bucket)
+            self.state, out = step(
+                self.state, jnp.asarray(pad_pts), jnp.asarray(pad_ts),
+                jnp.asarray(mask), jnp.bool_(has_ts),
+                jnp.asarray(self.extrinsic.astype(np.float32)),
+                jnp.asarray(rel.astype(np.float32)))
+            self.frames_registered += 1
+            registered = True
+        else:
+            self.frames_skipped += 1
+
+        new_pose = self.pose
+        twist = None
+        if stamp is not None and self.last_stamp is not None:
+            dt = stamp - self.last_stamp
+            if dt > 0:
+                twist = _ref.se3_log(np.linalg.inv(last_pose) @ new_pose) / dt
+        if stamp is not None:
+            self.last_stamp = stamp
+            self.poses_with_stamps.append((stamp, new_pose))
+        return {"pose": new_pose, "twist": twist, "registered": registered}
+
+    # ------------------------------------------------------------------
+    def write_tum(self, path):
+        from .utils.io.tum import write_tum
+        write_tum(path, self.poses_with_stamps)

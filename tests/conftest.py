@@ -22,3 +22,8 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kinematic_icp_tpu.utils.compilation_cache import (  # noqa: E402
+    enable_compilation_cache)
+
+enable_compilation_cache()
