@@ -52,27 +52,41 @@ def data_association(m: hashmap.MapState, source, source_mask, pose,
     return targets, corr_mask
 
 
+def partial_residual_sse(source, targets, corr_mask, pose):
+    """(sse, n) partial sums of squared residuals — psum-reducible (2,)."""
+    world = source @ pose[:3, :3].T + pose[:3, 3]
+    sq = jnp.sum((world - targets) ** 2, axis=-1)
+    n = jnp.sum(corr_mask).astype(source.dtype)
+    sse = jnp.sum(jnp.where(corr_mask, sq, 0.0))
+    return jnp.stack([sse, n])
+
+
+def regularization_from_sums(sums):
+    """beta = 1 / (sse/n + eps); 0 with no correspondences."""
+    sse, n = sums[0], sums[1]
+    mean = sse / jnp.maximum(n, 1.0)
+    beta = 1.0 / (mean + _EPSILON)
+    return jnp.where(n > 0, beta, 0.0)
+
+
 def compute_odometry_regularization(source, targets, corr_mask, pose):
     """beta = 1 / (mean ||T s - t||^2 + eps)  (Registration.cpp:48-60).
 
     With zero correspondences the reference never reaches this code (empty
     map early-out); we return 0 (no regularization) in that case.
     """
-    world = source @ pose[:3, :3].T + pose[:3, 3]
-    sq = jnp.sum((world - targets) ** 2, axis=-1)
-    n = jnp.sum(corr_mask)
-    sse = jnp.sum(jnp.where(corr_mask, sq, 0.0))
-    mean = sse / jnp.maximum(n, 1)
-    beta = 1.0 / (mean + _EPSILON)
-    return jnp.where(n > 0, beta, 0.0)
+    return regularization_from_sums(
+        partial_residual_sse(source, targets, corr_mask, pose))
 
 
-def compute_perturbation(source, targets, corr_mask, pose, beta):
-    """Build and solve the 2x2 normal equations (Registration.cpp:83-126).
+def partial_normal_equations(source, targets, corr_mask, pose):
+    """Masked partial sums of the 2x2 normal equations over local pairs.
 
     residual_i = T s_i - t_i
     J_i = [R e_x | R (-s_y, s_x, 0)]            (3x2)
-    dx = -(JTJ/N + diag(beta, 0))^-1 (JTr/N)    (2,)
+
+    Returns a (6,) vector (a00, a01, a11, b0, b1, n) — linear in the
+    correspondences, so cross-device reduction is a plain ``psum``.
     """
     R = pose[:3, :3]
     t = pose[:3, 3]
@@ -85,14 +99,19 @@ def compute_perturbation(source, targets, corr_mask, pose, beta):
         + source[:, 0:1] * R[:, 1][None, :]          # (N, 3)
 
     w = corr_mask.astype(source.dtype)
-    # JTJ entries (2x2 symmetric) and JTr (2,) as masked sums.
     a00 = jnp.sum(w) * jnp.dot(j0, j0)               # j0 constant: sum w * |j0|^2
     a01 = jnp.sum(w * (j1 @ j0))
     a11 = jnp.sum(w * jnp.sum(j1 * j1, axis=-1))
     b0 = jnp.sum(w * (residual @ j0))
     b1 = jnp.sum(w * jnp.sum(j1 * residual, axis=-1))
+    n = jnp.sum(w)
+    return jnp.stack([a00, a01, a11, b0, b1, n])
 
-    n = jnp.maximum(jnp.sum(w), 1.0)
+
+def solve_normal_equations(sums, beta):
+    """Solve the (already reduced) 2x2 system: dx = -(JTJ/N + Omega)^-1 JTr/N."""
+    a00, a01, a11, b0, b1, n_corr = (sums[i] for i in range(6))
+    n = jnp.maximum(n_corr, 1.0)
     a00, a01, a11 = a00 / n, a01 / n, a11 / n
     b0, b1 = b0 / n, b1 / n
     a00 = a00 + beta                                 # Omega = diag(beta, 0)
@@ -103,8 +122,14 @@ def compute_perturbation(source, targets, corr_mask, pose, beta):
     dx1 = -(a00 * b1 - a01 * b0) / safe_det
     dx = jnp.stack([dx0, dx1])
     # No correspondences or singular system -> no update.
-    ok = (jnp.sum(corr_mask) > 0) & (jnp.abs(det) > _EPSILON)
+    ok = (n_corr > 0) & (jnp.abs(det) > _EPSILON)
     return jnp.where(ok, dx, jnp.zeros_like(dx))
+
+
+def compute_perturbation(source, targets, corr_mask, pose, beta):
+    """Single-device perturbation (Registration.cpp:83-126)."""
+    return solve_normal_equations(
+        partial_normal_equations(source, targets, corr_mask, pose), beta)
 
 
 def compute_robot_motion(m: hashmap.MapState, source, source_mask, last_pose,

@@ -1,0 +1,276 @@
+"""Map-sharded + sequence-batched odometry step over a device mesh.
+
+The voxel hash map's slots are partitioned over the ``map`` mesh axis
+(ownership = top bits of the KISS spatial hash, so slot indexing inside each
+shard keeps using the low bits untouched); independent sequences are
+partitioned over the ``data`` axis.  Per GN iteration:
+
+  * every shard probes its local table for all query points (misses are
+    cheap — non-owned voxels are simply absent),
+  * candidate distances are ``all_gather``-combined over the map axis and
+    the winning shard keeps the pair,
+  * the 2-DoF normal equations, residual SSE and correspondence counts
+    reduce with a single ``psum`` (6 + 2 floats — the collective payload per
+    iteration is tiny, exactly why the kinematic 2-DoF formulation shards so
+    well),
+  * map insert/evict stay shard-local (ownership-filtered).
+
+All collectives ride the ``map`` axis only; the ``data`` axis never
+communicates (sequences are independent), so on a pod slice the map axis
+should be laid out on ICI-adjacent devices.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..config import Config
+from ..models.pipeline import FrameOutputs, OdometryState
+from ..ops import hashmap, motion_model, preprocessing, registration, se3, threshold, voxel
+
+
+def _owner_of(coords, num_shards: int):
+    """Shard owning a voxel: top log2(m) bits of the spatial hash."""
+    if num_shards == 1:
+        return jnp.zeros(coords.shape[:-1], jnp.uint32)
+    shift = 32 - (num_shards - 1).bit_length()
+    return voxel.spatial_hash(coords) >> jnp.uint32(shift)
+
+
+def _sharded_association(local_map, source, source_mask, pose, tau, config,
+                         axis_name: str):
+    """Associate against the sharded map; each shard keeps its winners.
+
+    Returns (targets_local, corr_mask_local): winner-only local pairs whose
+    psum'd statistics equal the single-device association exactly.
+    """
+    world = source @ pose[:3, :3].T + pose[:3, 3]
+    tgt, dist = hashmap.nearest_neighbor(
+        local_map, world, source_mask, config.voxel_size, config.max_probes)
+    all_dist = jax.lax.all_gather(dist, axis_name)       # (m, N)
+    winner = jnp.argmin(all_dist, axis=0)                # ties -> lowest shard
+    best = jnp.min(all_dist, axis=0)
+    mine = winner == jax.lax.axis_index(axis_name)
+    corr_mask = source_mask & (best < tau) & mine
+    return tgt, corr_mask
+
+
+def _sharded_robot_motion(local_map, source, source_mask, last_pose,
+                          relative_odometry, tau, config: Config,
+                          axis_name: str):
+    """ComputeRobotMotion with map-axis collectives (Registration.cpp:151-190)."""
+    guess = last_pose @ relative_odometry
+
+    assoc = functools.partial(
+        _sharded_association, local_map, source, source_mask,
+        tau=tau, config=config, axis_name=axis_name)
+
+    targets, corr_mask = assoc(guess)
+
+    if config.use_adaptive_odometry_regularization:
+        sums = jax.lax.psum(
+            registration.partial_residual_sse(source, targets, corr_mask, guess),
+            axis_name)
+        beta = registration.regularization_from_sums(sums)
+    else:
+        beta = jnp.asarray(config.fixed_regularization, dtype=source.dtype)
+
+    def cond_fn(carry):
+        _, _, _, it, converged = carry
+        return (it < config.max_num_iterations) & ~converged
+
+    def body_fn(carry):
+        pose, targets, corr_mask, it, _ = carry
+        sums = jax.lax.psum(
+            registration.partial_normal_equations(source, targets, corr_mask, pose),
+            axis_name)
+        dx = registration.solve_normal_equations(sums, beta)
+        pose = pose @ motion_model.motion_model(dx)
+        converged = jnp.linalg.norm(dx) < config.convergence_criterion
+        targets, corr_mask = jax.lax.cond(
+            converged | (it + 1 >= config.max_num_iterations),
+            lambda: (targets, corr_mask),
+            lambda: assoc(pose))
+        return pose, targets, corr_mask, it + 1, converged
+
+    # Initial loop counters derive from `guess` so they inherit its varying
+    # mesh axes (shard_map's type system rejects mixing unvarying carry
+    # inputs with varying body outputs).
+    zero = (guess[0, 0] * 0).astype(jnp.int32)
+    it0 = zero
+    converged0 = zero > 0
+    pose, targets, corr_mask, iters, _ = jax.lax.while_loop(
+        cond_fn, body_fn, (guess, targets, corr_mask, it0, converged0))
+
+    num_corr = jax.lax.psum(jnp.sum(corr_mask).astype(jnp.int32), axis_name)
+    debug = registration.RegistrationDebug(
+        iterations=iters, num_correspondences=num_corr)
+    return pose, debug
+
+
+def sharded_register_frame(state: OdometryState, points, timestamps, mask,
+                           has_timestamps, lidar_to_base, relative_odometry,
+                           config: Config, num_shards: int,
+                           axis_name: str = "map"):
+    """One odometry step on a map shard (call inside shard_map, per sequence).
+
+    ``state.map`` holds this shard's slots (config.map_capacity // num_shards);
+    every other input/output is replicated across the map axis.  Preprocessing
+    and downsampling are recomputed identically on each shard (cheap,
+    deterministic) — only association/reduction/insert are shard-aware.
+    """
+    dtype = state.pose.dtype
+    points = points.astype(dtype)
+
+    ext_inv = se3.inverse(lidar_to_base)
+    rel_odom_in_lidar = ext_inv @ relative_odometry @ lidar_to_base
+
+    if config.deskew:
+        frame, frame_mask = preprocessing.preprocess(
+            points, timestamps, mask, rel_odom_in_lidar,
+            min_range=config.min_range, max_range=config.max_range,
+            deskew_enabled=True, has_timestamps=has_timestamps)
+    else:
+        frame = points
+        frame_mask = preprocessing.range_filter_mask(
+            points, mask, config.min_range, config.max_range)
+
+    frame_in_base = frame @ lidar_to_base[:3, :3].T + lidar_to_base[:3, 3]
+    source, source_mask, frame_ds, frame_ds_mask = voxel.double_downsample(
+        frame_in_base, frame_mask, config.voxel_size,
+        max_downsampled=config.max_downsampled, max_source=config.max_source)
+
+    tau = threshold.compute_threshold(
+        state.threshold,
+        map_discretization_error=config.map_resolution(),
+        use_adaptive=config.use_adaptive_threshold,
+        fixed_threshold=config.fixed_threshold)
+
+    new_pose, debug = _sharded_robot_motion(
+        state.map, source, source_mask, state.pose, relative_odometry, tau,
+        config, axis_name)
+
+    prediction = state.pose @ relative_odometry
+    odometry_error = se3.inverse(prediction) @ new_pose
+    new_threshold = threshold.update_odometry_error(
+        state.threshold, odometry_error,
+        max_range=config.max_range, use_adaptive=config.use_adaptive_threshold)
+
+    # Ownership-filtered insert + local evict (VoxelHashMap::Update).
+    world_ds = frame_ds @ new_pose[:3, :3].T + new_pose[:3, 3]
+    owners = _owner_of(voxel.voxel_coords(world_ds, config.voxel_size),
+                       num_shards)
+    my = owners == jax.lax.axis_index(axis_name).astype(jnp.uint32)
+    new_map = hashmap.insert(state.map, world_ds, frame_ds_mask & my,
+                             config.voxel_size, config.max_probes)
+    new_map = hashmap.evict_far(new_map, new_pose[:3, 3], config.max_range)
+
+    new_state = OdometryState(pose=new_pose, map=new_map,
+                              threshold=new_threshold)
+    outputs = FrameOutputs(
+        frame=frame_in_base, frame_mask=frame_mask,
+        source=source, source_mask=source_mask,
+        pose=new_pose, debug=debug)
+    return new_state, outputs
+
+
+# ----------------------------------------------------------------------
+# Batched + sharded step over a (data, map) mesh
+# ----------------------------------------------------------------------
+
+def init_sharded_state(config: Config, mesh, batch: int,
+                       dtype=jnp.float32) -> OdometryState:
+    """Batched odometry state with map slots sharded over the mesh.
+
+    Array layouts (B = batch of sequences, C = total map capacity):
+      pose (B, 4, 4) @ P('data'); map.keys (B, C, 3) @ P('data', 'map');
+      map.points (B, C, K, 3) @ P('data', 'map'); counts (B, C) likewise;
+      threshold scalars (B,) @ P('data').
+    """
+    m = mesh.shape["map"]
+    assert config.map_capacity % m == 0
+    k = config.max_points_per_voxel
+
+    def mk(spec, shape, fill, dt):
+        sharding = NamedSharding(mesh, spec)
+        return jax.jit(
+            lambda: jnp.full(shape, fill, dtype=dt),
+            out_shardings=sharding)()
+
+    c = config.map_capacity
+    return OdometryState(
+        pose=mk(P("data"), (batch, 4, 4), 0, dtype) + jnp.eye(4, dtype=dtype),
+        map=hashmap.MapState(
+            keys=mk(P("data", "map"), (batch, c, 3), hashmap.EMPTY, jnp.int32),
+            points=mk(P("data", "map"), (batch, c, k, 3), 0, dtype),
+            counts=mk(P("data", "map"), (batch, c), 0, jnp.int32),
+        ),
+        threshold=threshold.ThresholdState(
+            odom_sse=mk(P("data"), (batch,), 0, dtype),
+            num_samples=mk(P("data"), (batch,), 1e-8, dtype),
+        ),
+    )
+
+
+def make_sharded_step(config: Config, mesh, donate: bool = True):
+    """Jitted batched step over the (data, map) mesh.
+
+    Inputs: state as from init_sharded_state; points (B, N, 3),
+    timestamps (B, N), mask (B, N), has_timestamps (B,),
+    lidar_to_base (4, 4) shared, relative_odometry (B, 4, 4),
+    active (B,) bool — per-sequence stationary gate (False keeps state).
+    """
+    m = mesh.shape["map"]
+    cfg_local = config.replace(map_capacity=config.map_capacity // m)
+
+    def seq_step(state, pts, ts, mask, has_ts, ext, rel, active):
+        new_state, out = sharded_register_frame(
+            state, pts, ts, mask, has_ts, ext, rel,
+            config=cfg_local, num_shards=m)
+        # Per-sequence stationary gate (LidarOdometryServer.cpp:202): an
+        # inactive sequence keeps its previous state (compute is wasted for
+        # it, but the batch stays lock-step with static shapes).
+        keep = lambda new, old: jnp.where(active, new, old)
+        gated_state = jax.tree.map(keep, new_state, state)
+        out = out._replace(pose=gated_state.pose)
+        return gated_state, out
+
+    def local_batch_step(state, pts, ts, mask, has_ts, ext, rel, active):
+        # Inside shard_map: leading dim = local batch slice; map shard local.
+        return jax.vmap(
+            seq_step, in_axes=(0, 0, 0, 0, 0, None, 0, 0))(
+                state, pts, ts, mask, has_ts, ext, rel, active)
+
+    state_specs = OdometryState(
+        pose=P("data"),
+        map=hashmap.MapState(keys=P("data", "map"), points=P("data", "map"),
+                             counts=P("data", "map")),
+        threshold=threshold.ThresholdState(odom_sse=P("data"),
+                                           num_samples=P("data")),
+    )
+    out_specs = FrameOutputs(
+        frame=P("data"), frame_mask=P("data"), source=P("data"),
+        source_mask=P("data"), pose=P("data"),
+        debug=registration.RegistrationDebug(
+            iterations=P("data"), num_correspondences=P("data")))
+
+    # check_vma=False: the varying-manual-axes checker (jax 0.9) mis-tracks
+    # numpy constants captured inside while_loop bodies under vmap-in-
+    # shard_map composition; semantics are unaffected (collectives are all
+    # explicit here).
+    fn = jax.shard_map(
+        local_batch_step, mesh=mesh,
+        in_specs=(state_specs, P("data"), P("data"), P("data"), P("data"),
+                  P(), P("data"), P("data")),
+        out_specs=(state_specs, out_specs),
+        check_vma=False)
+
+    def wrapped(*args):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args)
+
+    return jax.jit(wrapped, donate_argnums=(0,) if donate else ())
