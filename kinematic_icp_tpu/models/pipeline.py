@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from ..config import Config
 from ..ops import hashmap, preprocessing, registration, se3, threshold, voxel
+from ..ops.points import P3, transform
 
 
 class OdometryState(NamedTuple):
@@ -28,9 +29,9 @@ class OdometryState(NamedTuple):
 
 class FrameOutputs(NamedTuple):
     """Per-frame outputs, mirroring the reference's return + debug topics."""
-    frame: jnp.ndarray          # (N, 3) deskewed frame in base coords
+    frame: P3                   # (N,) planes — deskewed frame in base coords
     frame_mask: jnp.ndarray     # (N,)
-    source: jnp.ndarray         # (S, 3) ICP keypoints (base/local frame)
+    source: P3                  # (S,) planes — ICP keypoints (base frame)
     source_mask: jnp.ndarray    # (S,)
     pose: jnp.ndarray           # (4, 4) new pose
     debug: registration.RegistrationDebug
@@ -73,7 +74,8 @@ def register_frame(state: OdometryState, points, timestamps, mask,
       config: static configuration (one jit specialization per value).
     """
     dtype = state.pose.dtype
-    points = points.astype(dtype)
+    # Host boundary: (N, 3) -> planar SoA once per frame.
+    p = P3.from_array(points).astype(dtype)
 
     # Deskew happens in the lidar frame: conjugate the base-frame odometry by
     # the extrinsic (KinematicICP.cpp:53-55).
@@ -82,16 +84,16 @@ def register_frame(state: OdometryState, points, timestamps, mask,
 
     if config.deskew:
         frame, frame_mask = preprocessing.preprocess(
-            points, timestamps, mask, rel_odom_in_lidar,
+            p, timestamps, mask, rel_odom_in_lidar,
             min_range=config.min_range, max_range=config.max_range,
             deskew_enabled=True, has_timestamps=has_timestamps)
     else:
-        frame = points
+        frame = p
         frame_mask = preprocessing.range_filter_mask(
-            points, mask, config.min_range, config.max_range)
+            p, mask, config.min_range, config.max_range)
 
     # To base frame (KinematicICP.cpp:59).
-    frame_in_base = frame @ lidar_to_base[:3, :3].T + lidar_to_base[:3, 3]
+    frame_in_base = transform(lidar_to_base, frame)
 
     # Double voxel downsample (KinematicICP.cpp:38-44, 61-62).
     source, source_mask, frame_ds, frame_ds_mask = voxel.double_downsample(

@@ -13,10 +13,10 @@ TPU-native reimplementation of ``kinematic_icp::KinematicRegistration``
   * Jacobian columns ``R e_x`` and ``R (-s_y, s_x, 0)``            (cpp:89-91)
 
 The TBB parallel_for/parallel_reduce over points become one fused masked
-reduction; the GN loop is a ``lax.while_loop`` with static shapes.  With no
-correspondences (e.g. empty map) the perturbation is forced to zero, so the
-loop exits immediately and the initial guess is returned — matching the
-reference's early return for an empty map (cpp:157).
+planar reduction; the GN loop is a ``lax.while_loop`` with static shapes.
+With no correspondences (e.g. empty map) the perturbation is forced to zero,
+so the loop exits immediately and the initial guess is returned — matching
+the reference's early return for an empty map (cpp:157).
 """
 
 from __future__ import annotations
@@ -27,36 +27,42 @@ import jax
 import jax.numpy as jnp
 
 from . import hashmap, motion_model
+from .points import P3, transform
 
 #: reference uses DBL_MIN; a float32-safe tiny value serves the same purpose
 _EPSILON = 1e-30
 
 
 class RegistrationDebug(NamedTuple):
-    iterations: jnp.ndarray        # int32 — GN iterations executed
+    iterations: jnp.ndarray           # int32 — GN iterations executed
     num_correspondences: jnp.ndarray  # int32 — at the last association
 
 
-def data_association(m: hashmap.MapState, source, source_mask, pose,
+def data_association(m: hashmap.MapState, source: P3, source_mask, pose,
                      max_correspondence_distance, voxel_size: float,
                      max_probes: int):
     """Associate local-frame source points to map points (Registration.cpp:62-81).
 
-    Returns (targets (N, 3), corr_mask (N,)): the stored pairing is
+    Returns (targets P3, corr_mask (N,)): the stored pairing is
     (local source point, world target point), exactly like the reference.
     """
-    world = source @ pose[:3, :3].T + pose[:3, 3]
+    world = transform(pose, source)
     targets, dist = hashmap.nearest_neighbor(
         m, world, source_mask, voxel_size, max_probes)
     corr_mask = source_mask & (dist < max_correspondence_distance)
     return targets, corr_mask
 
 
-def partial_residual_sse(source, targets, corr_mask, pose):
+def _residual(source: P3, targets: P3, pose):
+    world = transform(pose, source)
+    return P3(world.x - targets.x, world.y - targets.y, world.z - targets.z)
+
+
+def partial_residual_sse(source: P3, targets: P3, corr_mask, pose):
     """(sse, n) partial sums of squared residuals — psum-reducible (2,)."""
-    world = source @ pose[:3, :3].T + pose[:3, 3]
-    sq = jnp.sum((world - targets) ** 2, axis=-1)
-    n = jnp.sum(corr_mask).astype(source.dtype)
+    r = _residual(source, targets, pose)
+    sq = r.x * r.x + r.y * r.y + r.z * r.z
+    n = jnp.sum(corr_mask).astype(source.x.dtype)
     sse = jnp.sum(jnp.where(corr_mask, sq, 0.0))
     return jnp.stack([sse, n])
 
@@ -69,17 +75,13 @@ def regularization_from_sums(sums):
     return jnp.where(n > 0, beta, 0.0)
 
 
-def compute_odometry_regularization(source, targets, corr_mask, pose):
-    """beta = 1 / (mean ||T s - t||^2 + eps)  (Registration.cpp:48-60).
-
-    With zero correspondences the reference never reaches this code (empty
-    map early-out); we return 0 (no regularization) in that case.
-    """
+def compute_odometry_regularization(source: P3, targets: P3, corr_mask, pose):
+    """beta = 1 / (mean ||T s - t||^2 + eps)  (Registration.cpp:48-60)."""
     return regularization_from_sums(
         partial_residual_sse(source, targets, corr_mask, pose))
 
 
-def partial_normal_equations(source, targets, corr_mask, pose):
+def partial_normal_equations(source: P3, targets: P3, corr_mask, pose):
     """Masked partial sums of the 2x2 normal equations over local pairs.
 
     residual_i = T s_i - t_i
@@ -89,22 +91,26 @@ def partial_normal_equations(source, targets, corr_mask, pose):
     correspondences, so cross-device reduction is a plain ``psum``.
     """
     R = pose[:3, :3]
-    t = pose[:3, 3]
-    world = source @ R.T + t
-    residual = world - targets                       # (N, 3)
+    r = _residual(source, targets, pose)
 
-    j0 = R[:, 0]                                     # R e_x, constant per frame
-    # R @ (-s_y, s_x, 0) per point
-    j1 = (-source[:, 1:2]) * R[:, 0][None, :] \
-        + source[:, 0:1] * R[:, 1][None, :]          # (N, 3)
+    # j0 = R e_x (constant); j1_i = R (-s_y, s_x, 0) per point.
+    j0x, j0y, j0z = R[0, 0], R[1, 0], R[2, 0]
+    j1x = -source.y * R[0, 0] + source.x * R[0, 1]
+    j1y = -source.y * R[1, 0] + source.x * R[1, 1]
+    j1z = -source.y * R[2, 0] + source.x * R[2, 1]
 
-    w = corr_mask.astype(source.dtype)
-    a00 = jnp.sum(w) * jnp.dot(j0, j0)               # j0 constant: sum w * |j0|^2
-    a01 = jnp.sum(w * (j1 @ j0))
-    a11 = jnp.sum(w * jnp.sum(j1 * j1, axis=-1))
-    b0 = jnp.sum(w * (residual @ j0))
-    b1 = jnp.sum(w * jnp.sum(j1 * residual, axis=-1))
+    w = corr_mask.astype(source.x.dtype)
+    j1_dot_j0 = j1x * j0x + j1y * j0y + j1z * j0z
+    j1_dot_j1 = j1x * j1x + j1y * j1y + j1z * j1z
+    r_dot_j0 = r.x * j0x + r.y * j0y + r.z * j0z
+    r_dot_j1 = r.x * j1x + r.y * j1y + r.z * j1z
+
     n = jnp.sum(w)
+    a00 = n * (j0x * j0x + j0y * j0y + j0z * j0z)
+    a01 = jnp.sum(w * j1_dot_j0)
+    a11 = jnp.sum(w * j1_dot_j1)
+    b0 = jnp.sum(w * r_dot_j0)
+    b1 = jnp.sum(w * r_dot_j1)
     return jnp.stack([a00, a01, a11, b0, b1, n])
 
 
@@ -126,14 +132,15 @@ def solve_normal_equations(sums, beta):
     return jnp.where(ok, dx, jnp.zeros_like(dx))
 
 
-def compute_perturbation(source, targets, corr_mask, pose, beta):
+def compute_perturbation(source: P3, targets: P3, corr_mask, pose, beta):
     """Single-device perturbation (Registration.cpp:83-126)."""
     return solve_normal_equations(
         partial_normal_equations(source, targets, corr_mask, pose), beta)
 
 
-def compute_robot_motion(m: hashmap.MapState, source, source_mask, last_pose,
-                         relative_wheel_odometry, max_correspondence_distance,
+def compute_robot_motion(m: hashmap.MapState, source: P3, source_mask,
+                         last_pose, relative_wheel_odometry,
+                         max_correspondence_distance,
                          *, voxel_size: float, max_probes: int,
                          max_num_iterations: int, convergence_criterion: float,
                          use_adaptive_odometry_regularization: bool,
@@ -151,7 +158,7 @@ def compute_robot_motion(m: hashmap.MapState, source, source_mask, last_pose,
     if use_adaptive_odometry_regularization:
         beta = compute_odometry_regularization(source, targets, corr_mask, guess)
     else:
-        beta = jnp.asarray(fixed_regularization, dtype=source.dtype)
+        beta = jnp.asarray(fixed_regularization, dtype=source.x.dtype)
 
     def cond_fn(carry):
         _, _, _, it, converged = carry

@@ -5,12 +5,15 @@ TPU-native equivalent of ``kiss_icp::VoxelDownsample`` / ``PointToVoxel``
 KinematicICP.cpp:38-44).  The robin-map based "keep first point per voxel"
 becomes a lexicographic multi-key sort + run-head compaction under static
 shapes: invalid/padded points carry a sentinel voxel key that sorts last.
+All point data is planar (ops/points.py) for dense TPU layouts.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from .points import P3
 
 #: sentinel voxel coordinate for invalid/padded points (sorts after any real
 #: coordinate and never equals a real voxel of an in-range point)
@@ -23,64 +26,74 @@ _HY = 19349669
 _HZ = 83492791
 
 
+def voxel_coords_planar(p: P3, voxel_size: float):
+    """floor(p / voxel_size) planes as int32, per KISS-ICP PointToVoxel."""
+    inv = 1.0 / voxel_size
+    return (jnp.floor(p.x * inv).astype(jnp.int32),
+            jnp.floor(p.y * inv).astype(jnp.int32),
+            jnp.floor(p.z * inv).astype(jnp.int32))
+
+
 def voxel_coords(points, voxel_size: float):
-    """floor(p / voxel_size) as int32, per KISS-ICP PointToVoxel."""
+    """(..., 3) array form (host/test convenience)."""
     return jnp.floor(points / voxel_size).astype(jnp.int32)
 
 
+def spatial_hash_planar(bx, by, bz):
+    """Voxel coord planes -> (...,) uint32 hash (KISS-ICP constants)."""
+    return ((bx.astype(jnp.uint32) * jnp.uint32(_HX))
+            ^ (by.astype(jnp.uint32) * jnp.uint32(_HY))
+            ^ (bz.astype(jnp.uint32) * jnp.uint32(_HZ)))
+
+
 def spatial_hash(coords):
-    """(..., 3) int32 voxel coords -> (...,) uint32 hash (KISS-ICP constants)."""
-    c = coords.astype(jnp.uint32)
-    return ((c[..., 0] * jnp.uint32(_HX))
-            ^ (c[..., 1] * jnp.uint32(_HY))
-            ^ (c[..., 2] * jnp.uint32(_HZ)))
+    """(..., 3) int32 voxel coords -> (...,) uint32 hash."""
+    return spatial_hash_planar(coords[..., 0], coords[..., 1], coords[..., 2])
 
 
-def voxel_downsample(points, mask, voxel_size: float, out_size: int):
+def voxel_downsample(p: P3, mask, voxel_size: float, out_size: int):
     """Keep the first (in input order) point of each occupied voxel.
 
     Args:
-      points: (N, 3) float points (padded).
+      p: P3 of (N,) planes (padded).
       mask: (N,) bool validity.
       voxel_size: grid pitch.
       out_size: static output capacity.
 
-    Returns:
-      (out_points (out_size, 3), out_mask (out_size,)).  Output order is
-      voxel-lexicographic (the reference's robin_map iteration order is
-      arbitrary, so downstream consumers cannot depend on order anyway).
-      Voxels beyond ``out_size`` are dropped (choose capacities generously).
+    Returns (P3 of (out_size,), out_mask (out_size,)).  Output order is
+    voxel-lexicographic (the reference's robin_map iteration order is
+    arbitrary, so downstream consumers cannot depend on order anyway).
+    Voxels beyond ``out_size`` are dropped (choose capacities generously).
     """
-    n = points.shape[0]
-    coords = voxel_coords(points, voxel_size)
-    coords = jnp.where(mask[:, None], coords, SENTINEL)
+    cx, cy, cz = voxel_coords_planar(p, voxel_size)
+    cx = jnp.where(mask, cx, SENTINEL)
+    cy = jnp.where(mask, cy, SENTINEL)
+    cz = jnp.where(mask, cz, SENTINEL)
 
-    # Lexicographic stable sort by (kx, ky, kz); stability keeps the first
-    # input point at the head of each equal-key run ("first point wins").
-    kx, ky, kz = coords[:, 0], coords[:, 1], coords[:, 2]
-    kx, ky, kz, px, py, pz = jax.lax.sort(
-        (kx, ky, kz, points[:, 0], points[:, 1], points[:, 2]),
-        num_keys=3, is_stable=True)
-    sorted_coords = jnp.stack([kx, ky, kz], axis=-1)
-    sorted_points = jnp.stack([px, py, pz], axis=-1)
+    # Lexicographic stable sort; stability keeps the first input point at
+    # the head of each equal-key run ("first point wins").
+    cx, cy, cz, sx, sy, sz = jax.lax.sort(
+        (cx, cy, cz, p.x, p.y, p.z), num_keys=3, is_stable=True)
 
-    valid_sorted = kx != SENTINEL
-    prev = jnp.roll(sorted_coords, 1, axis=0)
-    head = jnp.any(sorted_coords != prev, axis=-1)
-    head = head.at[0].set(True)
-    head = head & valid_sorted
+    valid = cx != SENTINEL
+    head = ((cx != jnp.roll(cx, 1)) | (cy != jnp.roll(cy, 1))
+            | (cz != jnp.roll(cz, 1)))
+    head = head.at[0].set(True) & valid
 
     # Compact heads into the output buffer.
-    pos = jnp.cumsum(head) - 1  # output index per head
+    pos = jnp.cumsum(head) - 1
     dest = jnp.where(head, pos, out_size)  # out-of-range => dropped
-    out_points = jnp.zeros((out_size, 3), dtype=points.dtype)
-    out_points = out_points.at[dest].set(sorted_points, mode="drop")
+    out = P3(
+        jnp.zeros((out_size,), p.x.dtype).at[dest].set(sx, mode="drop"),
+        jnp.zeros((out_size,), p.x.dtype).at[dest].set(sy, mode="drop"),
+        jnp.zeros((out_size,), p.x.dtype).at[dest].set(sz, mode="drop"),
+    )
     num_kept = jnp.minimum(jnp.sum(head), out_size)
     out_mask = jnp.arange(out_size) < num_kept
-    return out_points, out_mask
+    return out, out_mask
 
 
-def double_downsample(points, mask, voxel_size: float, *,
+def double_downsample(p: P3, mask, voxel_size: float, *,
                       max_downsampled: int, max_source: int):
     """KISS-ICP's double downsample (reference KinematicICP.cpp:38-44).
 
@@ -89,7 +102,7 @@ def double_downsample(points, mask, voxel_size: float, *,
     1.5 * voxel_size (of frame_downsample) feeds the ICP.
     """
     frame_ds, frame_ds_mask = voxel_downsample(
-        points, mask, voxel_size * 0.5, max_downsampled)
+        p, mask, voxel_size * 0.5, max_downsampled)
     source, source_mask = voxel_downsample(
         frame_ds, frame_ds_mask, voxel_size * 1.5, max_source)
     return source, source_mask, frame_ds, frame_ds_mask

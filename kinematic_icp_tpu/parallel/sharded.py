@@ -31,14 +31,15 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..config import Config
 from ..models.pipeline import FrameOutputs, OdometryState
 from ..ops import hashmap, motion_model, preprocessing, registration, se3, threshold, voxel
+from ..ops.points import P3, transform
 
 
-def _owner_of(coords, num_shards: int):
+def _owner_of(bx, by, bz, num_shards: int):
     """Shard owning a voxel: top log2(m) bits of the spatial hash."""
     if num_shards == 1:
-        return jnp.zeros(coords.shape[:-1], jnp.uint32)
+        return jnp.zeros(bx.shape, jnp.uint32)
     shift = 32 - (num_shards - 1).bit_length()
-    return voxel.spatial_hash(coords) >> jnp.uint32(shift)
+    return voxel.spatial_hash_planar(bx, by, bz) >> jnp.uint32(shift)
 
 
 def _sharded_association(local_map, source, source_mask, pose, tau, config,
@@ -48,7 +49,7 @@ def _sharded_association(local_map, source, source_mask, pose, tau, config,
     Returns (targets_local, corr_mask_local): winner-only local pairs whose
     psum'd statistics equal the single-device association exactly.
     """
-    world = source @ pose[:3, :3].T + pose[:3, 3]
+    world = transform(pose, source)
     tgt, dist = hashmap.nearest_neighbor(
         local_map, world, source_mask, config.voxel_size, config.max_probes)
     all_dist = jax.lax.all_gather(dist, axis_name)       # (m, N)
@@ -124,22 +125,22 @@ def sharded_register_frame(state: OdometryState, points, timestamps, mask,
     deterministic) — only association/reduction/insert are shard-aware.
     """
     dtype = state.pose.dtype
-    points = points.astype(dtype)
+    p = P3.from_array(points).astype(dtype)
 
     ext_inv = se3.inverse(lidar_to_base)
     rel_odom_in_lidar = ext_inv @ relative_odometry @ lidar_to_base
 
     if config.deskew:
         frame, frame_mask = preprocessing.preprocess(
-            points, timestamps, mask, rel_odom_in_lidar,
+            p, timestamps, mask, rel_odom_in_lidar,
             min_range=config.min_range, max_range=config.max_range,
             deskew_enabled=True, has_timestamps=has_timestamps)
     else:
-        frame = points
+        frame = p
         frame_mask = preprocessing.range_filter_mask(
-            points, mask, config.min_range, config.max_range)
+            p, mask, config.min_range, config.max_range)
 
-    frame_in_base = frame @ lidar_to_base[:3, :3].T + lidar_to_base[:3, 3]
+    frame_in_base = transform(lidar_to_base, frame)
     source, source_mask, frame_ds, frame_ds_mask = voxel.double_downsample(
         frame_in_base, frame_mask, config.voxel_size,
         max_downsampled=config.max_downsampled, max_source=config.max_source)
@@ -161,9 +162,9 @@ def sharded_register_frame(state: OdometryState, points, timestamps, mask,
         max_range=config.max_range, use_adaptive=config.use_adaptive_threshold)
 
     # Ownership-filtered insert + local evict (VoxelHashMap::Update).
-    world_ds = frame_ds @ new_pose[:3, :3].T + new_pose[:3, 3]
-    owners = _owner_of(voxel.voxel_coords(world_ds, config.voxel_size),
-                       num_shards)
+    world_ds = transform(new_pose, frame_ds)
+    bx, by, bz = voxel.voxel_coords_planar(world_ds, config.voxel_size)
+    owners = _owner_of(bx, by, bz, num_shards)
     my = owners == jax.lax.axis_index(axis_name).astype(jnp.uint32)
     new_map = hashmap.insert(state.map, world_ds, frame_ds_mask & my,
                              config.voxel_size, config.max_probes)
@@ -186,10 +187,10 @@ def init_sharded_state(config: Config, mesh, batch: int,
                        dtype=jnp.float32) -> OdometryState:
     """Batched odometry state with map slots sharded over the mesh.
 
-    Array layouts (B = batch of sequences, C = total map capacity):
-      pose (B, 4, 4) @ P('data'); map.keys (B, C, 3) @ P('data', 'map');
-      map.points (B, C, K, 3) @ P('data', 'map'); counts (B, C) likewise;
-      threshold scalars (B,) @ P('data').
+    Array layouts (B = batch of sequences, C = total map capacity, K =
+    block size):  pose (B, 4, 4) @ P('data'); map key planes (B, C) and
+    point planes (B, C*K) @ P('data', 'map'); counts (B, C) likewise;
+    threshold scalars (B,) @ P('data').
     """
     m = mesh.shape["map"]
     assert config.map_capacity % m == 0
@@ -205,8 +206,12 @@ def init_sharded_state(config: Config, mesh, batch: int,
     return OdometryState(
         pose=mk(P("data"), (batch, 4, 4), 0, dtype) + jnp.eye(4, dtype=dtype),
         map=hashmap.MapState(
-            keys=mk(P("data", "map"), (batch, c, 3), hashmap.EMPTY, jnp.int32),
-            points=mk(P("data", "map"), (batch, c, k, 3), 0, dtype),
+            kx=mk(P("data", "map"), (batch, c), hashmap.EMPTY, jnp.int32),
+            ky=mk(P("data", "map"), (batch, c), hashmap.EMPTY, jnp.int32),
+            kz=mk(P("data", "map"), (batch, c), hashmap.EMPTY, jnp.int32),
+            px=mk(P("data", "map"), (batch, c * k), 0, dtype),
+            py=mk(P("data", "map"), (batch, c * k), 0, dtype),
+            pz=mk(P("data", "map"), (batch, c * k), 0, dtype),
             counts=mk(P("data", "map"), (batch, c), 0, jnp.int32),
         ),
         threshold=threshold.ThresholdState(
@@ -245,15 +250,17 @@ def make_sharded_step(config: Config, mesh, donate: bool = True):
             seq_step, in_axes=(0, 0, 0, 0, 0, None, 0, 0))(
                 state, pts, ts, mask, has_ts, ext, rel, active)
 
+    dm = P("data", "map")
     state_specs = OdometryState(
         pose=P("data"),
-        map=hashmap.MapState(keys=P("data", "map"), points=P("data", "map"),
-                             counts=P("data", "map")),
+        map=hashmap.MapState(kx=dm, ky=dm, kz=dm, px=dm, py=dm, pz=dm,
+                             counts=dm),
         threshold=threshold.ThresholdState(odom_sse=P("data"),
                                            num_samples=P("data")),
     )
+    p3_data = P3(P("data"), P("data"), P("data"))
     out_specs = FrameOutputs(
-        frame=P("data"), frame_mask=P("data"), source=P("data"),
+        frame=p3_data, frame_mask=P("data"), source=p3_data,
         source_mask=P("data"), pose=P("data"),
         debug=registration.RegistrationDebug(
             iterations=P("data"), num_correspondences=P("data")))

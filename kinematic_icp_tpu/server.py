@@ -71,7 +71,9 @@ class LidarOdometryServer:
     def local_map_pointcloud(self) -> np.ndarray:
         from .ops import hashmap
         pts, mask = hashmap.pointcloud(self.state.map)
-        return np.asarray(pts)[np.asarray(mask)]
+        arr = np.stack([np.asarray(pts.x), np.asarray(pts.y),
+                        np.asarray(pts.z)], axis=-1)
+        return arr[np.asarray(mask)]
 
     # ------------------------------------------------------------------
     def _step_for(self, bucket: int):

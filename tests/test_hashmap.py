@@ -4,6 +4,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from kinematic_icp_tpu.ops import hashmap
+from kinematic_icp_tpu.ops.points import P3
+
+
+def nn_arr(m, queries, mask, vs, P):
+    nn, d = hashmap.nearest_neighbor(
+        m, P3.from_array(jnp.asarray(queries, jnp.float32)),
+        jnp.asarray(mask), vs, P)
+    return np.asarray(nn.to_array()), np.asarray(d)
 
 RNG = np.random.default_rng(4)
 
@@ -21,7 +29,8 @@ def insert(m, pts, mask=None):
     pts = np.asarray(pts, np.float32)
     if mask is None:
         mask = np.ones(len(pts), bool)
-    return hashmap.insert(m, jnp.asarray(pts), jnp.asarray(mask), VS, P)
+    return hashmap.insert(m, P3.from_array(jnp.asarray(pts)),
+                          jnp.asarray(mask), VS, P)
 
 
 def oracle_map(point_batches, k=K, vs=VS):
@@ -64,7 +73,9 @@ class TestInsert:
         assert int(jnp.sum(m.counts)) == K
         # the first K points (input order) must be the stored ones
         slot = int(jnp.argmax(m.counts))
-        stored = np.asarray(m.points[slot, :K])
+        stored = np.stack([np.asarray(m.px[slot*K:slot*K+K]),
+                           np.asarray(m.py[slot*K:slot*K+K]),
+                           np.asarray(m.pz[slot*K:slot*K+K])], axis=-1)
         np.testing.assert_allclose(stored, pts[:K].astype(np.float32), atol=1e-6)
 
     def test_incremental_append(self):
@@ -96,27 +107,23 @@ class TestInsert:
 class TestNearestNeighbor:
     def test_exact_match(self):
         m = insert(make_map(), [[0.5, 0.5, 0.5]])
-        nn, d = hashmap.nearest_neighbor(
-            m, jnp.array([[0.5, 0.5, 0.5]]), jnp.array([True]), VS, P)
+        nn, d = nn_arr(m, [[0.5, 0.5, 0.5]], [True], VS, P)
         assert float(d[0]) < 1e-6
 
     def test_neighboring_voxel(self):
         m = insert(make_map(), [[1.1, 0.5, 0.5]])
-        nn, d = hashmap.nearest_neighbor(
-            m, jnp.array([[0.9, 0.5, 0.5]]), jnp.array([True]), VS, P)
+        nn, d = nn_arr(m, [[0.9, 0.5, 0.5]], [True], VS, P)
         assert abs(float(d[0]) - 0.2) < 1e-5
-        np.testing.assert_allclose(np.asarray(nn[0]), [1.1, 0.5, 0.5], atol=1e-6)
+        np.testing.assert_allclose(nn[0], [1.1, 0.5, 0.5], atol=1e-6)
 
     def test_outside_neighborhood_returns_inf(self):
         m = insert(make_map(), [[10.5, 10.5, 10.5]])
-        _, d = hashmap.nearest_neighbor(
-            m, jnp.array([[0.5, 0.5, 0.5]]), jnp.array([True]), VS, P)
+        _, d = nn_arr(m, [[0.5, 0.5, 0.5]], [True], VS, P)
         assert np.isinf(float(d[0]))
 
     def test_masked_query_inf(self):
         m = insert(make_map(), [[0.5, 0.5, 0.5]])
-        _, d = hashmap.nearest_neighbor(
-            m, jnp.array([[0.5, 0.5, 0.5]]), jnp.array([False]), VS, P)
+        _, d = nn_arr(m, [[0.5, 0.5, 0.5]], [False], VS, P)
         assert np.isinf(float(d[0]))
 
     def test_random_vs_oracle(self):
@@ -124,9 +131,7 @@ class TestNearestNeighbor:
         m = insert(make_map(), pts)
         grid = oracle_map([pts])
         queries = RNG.uniform(-10, 10, size=(100, 3)).astype(np.float32)
-        nn, d = hashmap.nearest_neighbor(
-            m, jnp.asarray(queries), jnp.ones(100, bool), VS, P)
-        nn, d = np.asarray(nn), np.asarray(d)
+        nn, d = nn_arr(m, queries, np.ones(100, bool), VS, P)
         for i, q in enumerate(queries):
             ref_p, ref_d = oracle_nn(grid, q)
             if np.isinf(ref_d):
@@ -140,8 +145,7 @@ class TestEvictAndUpdate:
         m = insert(make_map(), [[0.5, 0.5, 0.5], [50.5, 0.5, 0.5]])
         m = hashmap.evict_far(m, jnp.zeros(3), 10.0)
         assert int(hashmap.num_voxels(m)) == 1
-        _, d = hashmap.nearest_neighbor(
-            m, jnp.array([[0.5, 0.5, 0.5]]), jnp.array([True]), VS, P)
+        _, d = nn_arr(m, [[0.5, 0.5, 0.5]], [True], VS, P)
         assert float(d[0]) < 1e-6
 
     def test_evict_uses_first_point(self):
@@ -156,27 +160,25 @@ class TestEvictAndUpdate:
         m = hashmap.evict_far(m, jnp.zeros(3), 10.0)
         m = insert(m, [[50.5, 0.5, 0.5]])
         assert int(hashmap.num_voxels(m)) == 1
-        nn, d = hashmap.nearest_neighbor(
-            m, jnp.array([[50.5, 0.5, 0.5]]), jnp.array([True]), VS, P)
+        nn, d = nn_arr(m, [[50.5, 0.5, 0.5]], [True], VS, P)
         assert float(d[0]) < 1e-6
 
     def test_update_transform_insert_evict(self):
         pose = np.eye(4, dtype=np.float32)
         pose[:3, 3] = [100.0, 0, 0]
         local_pts = np.array([[1.0, 0.5, 0.5], [-0.5, 0.5, 0.5]], np.float32)
-        m = hashmap.update(make_map(), jnp.asarray(local_pts),
+        m = hashmap.update(make_map(), P3.from_array(jnp.asarray(local_pts)),
                            jnp.ones(2, bool), jnp.asarray(pose), VS, 50.0, P)
         assert int(hashmap.num_voxels(m)) == 2
         # stored in world frame
-        nn, d = hashmap.nearest_neighbor(
-            m, jnp.array([[101.0, 0.5, 0.5]]), jnp.array([True]), VS, P)
+        nn, d = nn_arr(m, [[101.0, 0.5, 0.5]], [True], VS, P)
         assert float(d[0]) < 1e-5
 
     def test_pointcloud_roundtrip(self):
         pts = RNG.uniform(-5, 5, size=(100, 3))
         m = insert(make_map(), pts)
         cloud, mask = hashmap.pointcloud(m)
-        stored = np.asarray(cloud)[np.asarray(mask)]
+        stored = np.asarray(cloud.to_array())[np.asarray(mask)]
         grid = oracle_map([pts])
         ref = np.concatenate([np.array(b) for b in grid.values()])
         assert len(stored) == len(ref)
@@ -195,9 +197,8 @@ class TestProbeRobustness:
         m = hashmap.evict_far(m, jnp.zeros(3), 32.0)
         remaining = int(hashmap.num_voxels(m))
         assert 0 < remaining < 64
-        q = jnp.asarray(pts[:16])
-        _, d = hashmap.nearest_neighbor(m, q, jnp.ones(16, bool), VS, P)
-        assert np.all(np.asarray(d) < 1e-5)
+        _, d = nn_arr(m, pts[:16], np.ones(16, bool), VS, P)
+        assert np.all(d < 1e-5)
 
     def test_high_load_factor_inserts(self):
         # ~50% load: all inserts must still land (with drops counted fairly).

@@ -59,8 +59,9 @@ class TestPipeline:
     def test_outputs_shapes(self):
         state = pipeline.init_state(CFG)
         _, out = run_step(state)
-        assert out.frame.shape == (CFG.max_points, 3)
-        assert out.source.shape == (CFG.max_source, 3)
+        assert out.frame.shape == (CFG.max_points,)
+        assert out.frame.to_array().shape == (CFG.max_points, 3)
+        assert out.source.shape == (CFG.max_source,)
         assert out.pose.shape == (4, 4)
         assert int(out.debug.num_correspondences) >= 0
 
@@ -77,7 +78,7 @@ class TestPipeline:
             jnp.asarray(mask), jnp.bool_(False), jnp.asarray(ext),
             jnp.eye(4), CFG)
         np.testing.assert_allclose(
-            np.asarray(out.frame[0]), [3.0, 0.0, 0.5], atol=1e-6)
+            np.asarray(out.frame.to_array()[0]), [3.0, 0.0, 0.5], atol=1e-6)
 
     def test_min_range_filter(self):
         cfg = CFG.replace(min_range=2.0)

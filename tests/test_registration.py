@@ -4,6 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from kinematic_icp_tpu.ops import hashmap, registration, se3
+from kinematic_icp_tpu.ops.points import P3
 
 RNG = np.random.default_rng(5)
 
@@ -38,8 +39,14 @@ def make_world_points(n=1500):
 
 def build_map(world_pts):
     m = hashmap.empty(CAP, K)
-    return hashmap.insert(m, jnp.asarray(world_pts),
+    return hashmap.insert(m, P3.from_array(jnp.asarray(world_pts)),
                           jnp.ones(len(world_pts), bool), VS, P)
+
+
+def perturb(src, tgt, mask, pose, beta):
+    return np.asarray(registration.compute_perturbation(
+        P3.from_array(jnp.asarray(src)), P3.from_array(jnp.asarray(tgt)),
+        jnp.asarray(mask), pose, jnp.float32(beta)))
 
 
 def planar_pose(x, y, yaw):
@@ -55,25 +62,19 @@ class TestPerturbation:
         src = RNG.uniform(-5, 5, size=(100, 3)).astype(np.float32)
         pose = planar_pose(1.0, 2.0, 0.3)
         world = np.asarray(se3.apply(pose, jnp.asarray(src)))
-        dx = registration.compute_perturbation(
-            jnp.asarray(src), jnp.asarray(world), jnp.ones(100, bool),
-            pose, jnp.float32(0.0))
-        np.testing.assert_allclose(np.asarray(dx), 0.0, atol=1e-5)
+        dx = perturb(src, world, np.ones(100, bool), pose, 0.0)
+        np.testing.assert_allclose(dx, 0.0, atol=1e-5)
 
     def test_no_correspondences_zero(self):
         src = RNG.uniform(-5, 5, size=(10, 3)).astype(np.float32)
-        dx = registration.compute_perturbation(
-            jnp.asarray(src), jnp.asarray(src), jnp.zeros(10, bool),
-            jnp.eye(4), jnp.float32(0.0))
-        np.testing.assert_allclose(np.asarray(dx), 0.0)
+        dx = perturb(src, src, np.zeros(10, bool), jnp.eye(4), 0.0)
+        np.testing.assert_allclose(dx, 0.0)
 
     def test_forward_offset_recovered(self):
         # targets = source shifted +0.3 in x: expect dx ~ (0.3, 0)
         src = RNG.uniform(-5, 5, size=(200, 3)).astype(np.float32)
         tgt = src + np.array([0.3, 0, 0], np.float32)
-        dx = np.asarray(registration.compute_perturbation(
-            jnp.asarray(src), jnp.asarray(tgt), jnp.ones(200, bool),
-            jnp.eye(4), jnp.float32(0.0)))
+        dx = perturb(src, tgt, np.ones(200, bool), jnp.eye(4), 0.0)
         assert abs(dx[0] - 0.3) < 1e-4
         assert abs(dx[1]) < 1e-4
 
@@ -82,20 +83,14 @@ class TestPerturbation:
         src = RNG.uniform(-5, 5, size=(400, 3)).astype(np.float32)
         Rz = np.asarray(planar_pose(0, 0, yaw))[:3, :3]
         tgt = (src @ Rz.T).astype(np.float32)
-        dx = np.asarray(registration.compute_perturbation(
-            jnp.asarray(src), jnp.asarray(tgt), jnp.ones(400, bool),
-            jnp.eye(4), jnp.float32(0.0)))
+        dx = perturb(src, tgt, np.ones(400, bool), jnp.eye(4), 0.0)
         assert abs(dx[1] - yaw) < 5e-3
 
     def test_regularization_shrinks_displacement(self):
         src = RNG.uniform(-5, 5, size=(200, 3)).astype(np.float32)
         tgt = src + np.array([0.3, 0, 0], np.float32)
-        dx_free = np.asarray(registration.compute_perturbation(
-            jnp.asarray(src), jnp.asarray(tgt), jnp.ones(200, bool),
-            jnp.eye(4), jnp.float32(0.0)))
-        dx_reg = np.asarray(registration.compute_perturbation(
-            jnp.asarray(src), jnp.asarray(tgt), jnp.ones(200, bool),
-            jnp.eye(4), jnp.float32(10.0)))
+        dx_free = perturb(src, tgt, np.ones(200, bool), jnp.eye(4), 0.0)
+        dx_reg = perturb(src, tgt, np.ones(200, bool), jnp.eye(4), 10.0)
         assert abs(dx_reg[0]) < abs(dx_free[0])
 
 
@@ -105,11 +100,11 @@ class TestDataAssociation:
         m = build_map(world)
         src = world[:100] + np.array([0.4, 0, 0], np.float32)
         _, mask_tight = registration.data_association(
-            m, jnp.asarray(src), jnp.ones(100, bool), jnp.eye(4),
-            jnp.float32(0.05), VS, P)
+            m, P3.from_array(jnp.asarray(src)), jnp.ones(100, bool),
+            jnp.eye(4), jnp.float32(0.05), VS, P)
         _, mask_loose = registration.data_association(
-            m, jnp.asarray(src), jnp.ones(100, bool), jnp.eye(4),
-            jnp.float32(1.0), VS, P)
+            m, P3.from_array(jnp.asarray(src)), jnp.ones(100, bool),
+            jnp.eye(4), jnp.float32(1.0), VS, P)
         assert int(jnp.sum(mask_tight)) < int(jnp.sum(mask_loose))
         assert int(jnp.sum(mask_loose)) == 100
 
@@ -121,8 +116,8 @@ class TestComputeRobotMotion:
         last = planar_pose(1.0, 0.0, 0.1)
         rel = planar_pose(0.5, 0.0, 0.02)
         pose, dbg = registration.compute_robot_motion(
-            m, jnp.asarray(src), jnp.ones(100, bool), last, rel,
-            jnp.float32(1.0), **GN_KW)
+            m, P3.from_array(jnp.asarray(src)), jnp.ones(100, bool), last,
+            rel, jnp.float32(1.0), **GN_KW)
         np.testing.assert_allclose(np.asarray(pose), np.asarray(last @ rel),
                                    atol=1e-6)
         assert int(dbg.num_correspondences) == 0
@@ -144,8 +139,8 @@ class TestComputeRobotMotion:
         # biased odometry guess: off by (0.15m, 0.1m, 0.03rad)
         rel_guess = planar_pose(0.35, 0.1, 0.02)
         pose, dbg = registration.compute_robot_motion(
-            m, jnp.asarray(local), jnp.ones(n, bool), last, rel_guess,
-            jnp.float32(2.0), **GN_KW)
+            m, P3.from_array(jnp.asarray(local)), jnp.ones(n, bool), last,
+            rel_guess, jnp.float32(2.0), **GN_KW)
         pose = np.asarray(pose, np.float64)
         err = np.linalg.inv(pose) @ true_pose_np
         trans_err = np.linalg.norm(err[:3, 3])
@@ -165,7 +160,7 @@ class TestComputeRobotMotion:
         local = local[np.linalg.norm(local, axis=1) < 30.0][:1024]
         local = local.astype(np.float32)
         pose, dbg = registration.compute_robot_motion(
-            m, jnp.asarray(local), jnp.ones(len(local), bool),
+            m, P3.from_array(jnp.asarray(local)), jnp.ones(len(local), bool),
             jnp.eye(4), true_pose, jnp.float32(2.0), **GN_KW)
         err = np.linalg.inv(np.asarray(pose, np.float64)) @ tp
         assert np.linalg.norm(err[:3, 3]) < 5e-3

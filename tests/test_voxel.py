@@ -4,6 +4,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from kinematic_icp_tpu.ops import voxel
+from kinematic_icp_tpu.ops.points import P3
+
+
+def downsample_arr(pts, mask, vs, out_size):
+    out, out_mask = voxel.voxel_downsample(
+        P3.from_array(jnp.asarray(pts)), jnp.asarray(mask), vs, out_size)
+    return np.asarray(out.to_array()), np.asarray(out_mask)
 
 RNG = np.random.default_rng(3)
 
@@ -47,9 +54,8 @@ class TestVoxelDownsample:
     def test_matches_oracle_set(self):
         pts = RNG.uniform(-20, 20, size=(500, 3)).astype(np.float32)
         mask = np.ones(500, bool)
-        out, out_mask = voxel.voxel_downsample(
-            jnp.asarray(pts), jnp.asarray(mask), 1.0, 512)
-        ours = np.asarray(out)[np.asarray(out_mask)]
+        out, out_mask = downsample_arr(pts, mask, 1.0, 512)
+        ours = out[out_mask]
         ref = oracle_downsample(pts.astype(np.float64), 1.0)
         assert len(ours) == len(ref)
         assert as_set(ours) == as_set(ref)
@@ -57,48 +63,44 @@ class TestVoxelDownsample:
     def test_first_point_wins(self):
         pts = np.array([[0.1, 0.1, 0.1], [0.9, 0.9, 0.9], [0.2, 0.2, 0.2]],
                        dtype=np.float32)
-        out, out_mask = voxel.voxel_downsample(
-            jnp.asarray(pts), jnp.ones(3, bool), 1.0, 8)
-        kept = np.asarray(out)[np.asarray(out_mask)]
+        out, out_mask = downsample_arr(pts, np.ones(3, bool), 1.0, 8)
+        kept = out[out_mask]
         assert len(kept) == 1
         np.testing.assert_allclose(kept[0], [0.1, 0.1, 0.1])
 
     def test_masked_points_ignored(self):
         pts = np.array([[0.1, 0.1, 0.1], [5.1, 5.1, 5.1]], dtype=np.float32)
         mask = np.array([False, True])
-        out, out_mask = voxel.voxel_downsample(
-            jnp.asarray(pts), jnp.asarray(mask), 1.0, 8)
-        kept = np.asarray(out)[np.asarray(out_mask)]
+        out, out_mask = downsample_arr(pts, mask, 1.0, 8)
+        kept = out[out_mask]
         assert len(kept) == 1
         np.testing.assert_allclose(kept[0], [5.1, 5.1, 5.1])
 
     def test_empty_input(self):
         pts = np.zeros((16, 3), np.float32)
-        out, out_mask = voxel.voxel_downsample(
-            jnp.asarray(pts), jnp.zeros(16, bool), 1.0, 8)
-        assert not np.any(np.asarray(out_mask))
+        out, out_mask = downsample_arr(pts, np.zeros(16, bool), 1.0, 8)
+        assert not np.any(out_mask)
 
     def test_overflow_drops_excess(self):
         pts = (np.arange(32, dtype=np.float32)[:, None]
                * np.array([[1.0, 0, 0]], np.float32)) * 2.0
-        out, out_mask = voxel.voxel_downsample(
-            jnp.asarray(pts), jnp.ones(32, bool), 1.0, 8)
-        assert np.asarray(out_mask).sum() == 8
+        out, out_mask = downsample_arr(pts, np.ones(32, bool), 1.0, 8)
+        assert out_mask.sum() == 8
 
     def test_negative_coords(self):
         pts = np.array([[-0.5, -0.5, -0.5], [-0.6, -0.6, -0.6],
                         [0.5, 0.5, 0.5]], dtype=np.float32)
-        out, out_mask = voxel.voxel_downsample(
-            jnp.asarray(pts), jnp.ones(3, bool), 1.0, 8)
-        kept = np.asarray(out)[np.asarray(out_mask)]
+        out, out_mask = downsample_arr(pts, np.ones(3, bool), 1.0, 8)
+        kept = out[out_mask]
         assert len(kept) == 2
 
     def test_double_downsample_counts(self):
         pts = RNG.uniform(-30, 30, size=(2000, 3)).astype(np.float32)
         mask = np.ones(2000, bool)
         src, src_m, ds, ds_m = voxel.double_downsample(
-            jnp.asarray(pts), jnp.asarray(mask), 1.0,
+            P3.from_array(jnp.asarray(pts)), jnp.asarray(mask), 1.0,
             max_downsampled=2048, max_source=2048)
+        src = src.to_array()
         ds_ref = oracle_downsample(pts.astype(np.float64), 0.5)
         src_ref = oracle_downsample(ds_ref, 1.5)
         assert int(np.asarray(ds_m).sum()) == len(ds_ref)
