@@ -45,23 +45,17 @@ def calibrate_dispatch_ms():
 
     C, K, N = 1 << 14, 20, 4096
     rng = np.random.default_rng(0)
-    m = hashmap.MapState(
-        kx=jnp.asarray(rng.integers(-50, 50, C, dtype=np.int32)),
-        ky=jnp.asarray(rng.integers(-50, 50, C, dtype=np.int32)),
-        kz=jnp.asarray(rng.integers(-50, 50, C, dtype=np.int32)),
-        px=jnp.asarray(rng.normal(size=(C * K,)).astype(np.float32)),
-        py=jnp.asarray(rng.normal(size=(C * K,)).astype(np.float32)),
-        pz=jnp.asarray(rng.normal(size=(C * K,)).astype(np.float32)),
-        counts=jnp.asarray(rng.integers(0, K, C, dtype=np.int32)))
-    q = P3(*(jnp.asarray(rng.uniform(-40, 40, N).astype(np.float32))
-             for _ in range(3)))
+    pts = P3.from_array(jnp.asarray(
+        rng.uniform(-40, 40, (N, 3)).astype(np.float32)))
     mask = jnp.ones(N, bool)
-    f = jax.jit(lambda m, q, mk: hashmap.nearest_neighbor(m, q, mk, 1.0, 8))
-    f(m, q, mask)[1].block_until_ready()
+    m = jax.jit(lambda m, p: hashmap.insert(m, p, mask, 1.0, 4))(
+        hashmap.empty(C, K), pts)
+    f = jax.jit(lambda m, q, mk: hashmap.nearest_neighbor(m, q, mk, 1.0, 4, 12))
+    np.asarray(f(m, pts, mask)[1])
     t0 = time.time()
     for _ in range(10):
-        r = f(m, q, mask)
-    r[1].block_until_ready()
+        r = f(m, pts, mask)
+    np.asarray(r[1])  # true completion barrier (relay-safe)
     return (time.time() - t0) / 10 * 1000
 
 
@@ -115,7 +109,7 @@ def main():
         jax.tree.map(lambda x: x.block_until_ready(), st)
         t0 = time.time()
         _, p = runner(st, *dev_args)
-        p.block_until_ready()
+        p = np.asarray(p)  # relay-safe completion barrier
         times.append(time.time() - t0)
     best = min(times)
     fps = NUM_FRAMES / best

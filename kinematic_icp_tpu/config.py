@@ -53,8 +53,17 @@ class Config:
     max_source: int = 8192
     #: number of slots in the device voxel hash table (power of two)
     map_capacity: int = 1 << 18
-    #: max linear-probe distance in the open-addressing table
-    max_probes: int = 16
+    #: max linear-probe distance in the open-addressing table (the default
+    #: table runs at <1% load, where 4-slot windows never overflow)
+    max_probes: int = 4
+    #: candidate voxels fetched per NN query (27 = the reference's full
+    #: neighborhood; smaller values prune by exact point-to-box lower
+    #: bounds, trading a principled approximation for ~27/V fewer gathers;
+    #: 12 measures indistinguishable ATE from 27 on synthetic sequences)
+    neighbor_candidates: int = 12
+    #: re-gather candidates on every GN iteration (reference behavior)
+    #: instead of re-selecting within per-frame cached candidates
+    exact_gn_reassociation: bool = False
 
     def __post_init__(self):
         assert self.map_capacity & (self.map_capacity - 1) == 0, (

@@ -115,7 +115,9 @@ def register_frame(state: OdometryState, points, timestamps, mask,
         convergence_criterion=config.convergence_criterion,
         use_adaptive_odometry_regularization=(
             config.use_adaptive_odometry_regularization),
-        fixed_regularization=config.fixed_regularization)
+        fixed_regularization=config.fixed_regularization,
+        num_candidate_voxels=config.neighbor_candidates,
+        exact_gn_reassociation=config.exact_gn_reassociation)
 
     # odometry_error = (last * rel_odom)^-1 * new  (KinematicICP.cpp:75).
     prediction = state.pose @ relative_odometry

@@ -40,7 +40,7 @@ class RegistrationDebug(NamedTuple):
 
 def data_association(m: hashmap.MapState, source: P3, source_mask, pose,
                      max_correspondence_distance, voxel_size: float,
-                     max_probes: int):
+                     max_probes: int, num_candidate_voxels: int = 27):
     """Associate local-frame source points to map points (Registration.cpp:62-81).
 
     Returns (targets P3, corr_mask (N,)): the stored pairing is
@@ -48,7 +48,23 @@ def data_association(m: hashmap.MapState, source: P3, source_mask, pose,
     """
     world = transform(pose, source)
     targets, dist = hashmap.nearest_neighbor(
-        m, world, source_mask, voxel_size, max_probes)
+        m, world, source_mask, voxel_size, max_probes, num_candidate_voxels)
+    corr_mask = source_mask & (dist < max_correspondence_distance)
+    return targets, corr_mask
+
+
+def associate_from_candidates(cand, source: P3, source_mask, pose,
+                              max_correspondence_distance):
+    """Re-associate against a cached CandidateSet (elementwise only).
+
+    The candidate neighborhoods were gathered at the initial-guess pose;
+    GN iterations move the pose by millimetres, so refreshing only the
+    *selection* (not the gather) preserves accuracy while making each GN
+    iteration gather-free.  Set Config.exact_gn_reassociation for the
+    reference's re-gather-every-iteration behavior.
+    """
+    world = transform(pose, source)
+    targets, dist = hashmap.nn_from_candidates(cand, world, source_mask)
     corr_mask = source_mask & (dist < max_correspondence_distance)
     return targets, corr_mask
 
@@ -144,16 +160,33 @@ def compute_robot_motion(m: hashmap.MapState, source: P3, source_mask,
                          *, voxel_size: float, max_probes: int,
                          max_num_iterations: int, convergence_criterion: float,
                          use_adaptive_odometry_regularization: bool,
-                         fixed_regularization: float):
+                         fixed_regularization: float,
+                         num_candidate_voxels: int = 27,
+                         exact_gn_reassociation: bool = False):
     """Full ComputeRobotMotion (Registration.cpp:151-190).
 
-    Returns (new_pose (4, 4), RegistrationDebug).
+    By default candidate map points are gathered ONCE at the initial guess
+    and GN iterations re-select among them (gather-free);
+    ``exact_gn_reassociation`` restores the reference's full re-gather per
+    iteration.  Returns (new_pose (4, 4), RegistrationDebug).
     """
     guess = last_pose @ relative_wheel_odometry
 
-    targets, corr_mask = data_association(
-        m, source, source_mask, guess, max_correspondence_distance,
-        voxel_size, max_probes)
+    if exact_gn_reassociation:
+        def associate(pose):
+            return data_association(
+                m, source, source_mask, pose, max_correspondence_distance,
+                voxel_size, max_probes, num_candidate_voxels)
+    else:
+        cand = hashmap.gather_candidates(
+            m, transform(guess, source), voxel_size, max_probes,
+            num_candidate_voxels)
+
+        def associate(pose):
+            return associate_from_candidates(
+                cand, source, source_mask, pose, max_correspondence_distance)
+
+    targets, corr_mask = associate(guess)
 
     if use_adaptive_odometry_regularization:
         beta = compute_odometry_regularization(source, targets, corr_mask, guess)
@@ -176,9 +209,7 @@ def compute_robot_motion(m: hashmap.MapState, source: P3, source_mask,
         targets, corr_mask = jax.lax.cond(
             converged | (it + 1 >= max_num_iterations),
             lambda: (targets, corr_mask),
-            lambda: data_association(
-                m, source, source_mask, pose, max_correspondence_distance,
-                voxel_size, max_probes),
+            lambda: associate(pose),
         )
         return pose, targets, corr_mask, it + 1, converged
 

@@ -42,18 +42,14 @@ def _owner_of(bx, by, bz, num_shards: int):
     return voxel.spatial_hash_planar(bx, by, bz) >> jnp.uint32(shift)
 
 
-def _sharded_association(local_map, source, source_mask, pose, tau, config,
-                         axis_name: str):
-    """Associate against the sharded map; each shard keeps its winners.
+def _combine_local_nn(tgt, dist, source_mask, tau, axis_name: str):
+    """Combine per-shard NN results: each shard keeps its winning pairs.
 
-    Returns (targets_local, corr_mask_local): winner-only local pairs whose
-    psum'd statistics equal the single-device association exactly.
+    The psum'd statistics over winner-only local pairs equal the
+    single-device association exactly (ties -> lowest shard index).
     """
-    world = transform(pose, source)
-    tgt, dist = hashmap.nearest_neighbor(
-        local_map, world, source_mask, config.voxel_size, config.max_probes)
     all_dist = jax.lax.all_gather(dist, axis_name)       # (m, N)
-    winner = jnp.argmin(all_dist, axis=0)                # ties -> lowest shard
+    winner = jnp.argmin(all_dist, axis=0)
     best = jnp.min(all_dist, axis=0)
     mine = winner == jax.lax.axis_index(axis_name)
     corr_mask = source_mask & (best < tau) & mine
@@ -66,9 +62,25 @@ def _sharded_robot_motion(local_map, source, source_mask, last_pose,
     """ComputeRobotMotion with map-axis collectives (Registration.cpp:151-190)."""
     guess = last_pose @ relative_odometry
 
-    assoc = functools.partial(
-        _sharded_association, local_map, source, source_mask,
-        tau=tau, config=config, axis_name=axis_name)
+    if config.exact_gn_reassociation:
+        def assoc(pose):
+            world = transform(pose, source)
+            tgt, dist = hashmap.nearest_neighbor(
+                local_map, world, source_mask, config.voxel_size,
+                config.max_probes, config.neighbor_candidates)
+            return _combine_local_nn(tgt, dist, source_mask, tau, axis_name)
+    else:
+        # One gather pass per frame against this shard's slots; GN
+        # iterations re-select among cached candidates (gather-free) and
+        # combine winners across the map axis.
+        cand = hashmap.gather_candidates(
+            local_map, transform(guess, source), config.voxel_size,
+            config.max_probes, config.neighbor_candidates)
+
+        def assoc(pose):
+            world = transform(pose, source)
+            tgt, dist = hashmap.nn_from_candidates(cand, world, source_mask)
+            return _combine_local_nn(tgt, dist, source_mask, tau, axis_name)
 
     targets, corr_mask = assoc(guess)
 
@@ -168,7 +180,8 @@ def sharded_register_frame(state: OdometryState, points, timestamps, mask,
     my = owners == jax.lax.axis_index(axis_name).astype(jnp.uint32)
     new_map = hashmap.insert(state.map, world_ds, frame_ds_mask & my,
                              config.voxel_size, config.max_probes)
-    new_map = hashmap.evict_far(new_map, new_pose[:3, 3], config.max_range)
+    new_map = hashmap.evict_far(new_map, new_pose[:3, 3], config.max_range,
+                                config.voxel_size)
 
     new_state = OdometryState(pose=new_pose, map=new_map,
                               threshold=new_threshold)
@@ -209,9 +222,9 @@ def init_sharded_state(config: Config, mesh, batch: int,
             kx=mk(P("data", "map"), (batch, c), hashmap.EMPTY, jnp.int32),
             ky=mk(P("data", "map"), (batch, c), hashmap.EMPTY, jnp.int32),
             kz=mk(P("data", "map"), (batch, c), hashmap.EMPTY, jnp.int32),
-            px=mk(P("data", "map"), (batch, c * k), 0, dtype),
-            py=mk(P("data", "map"), (batch, c * k), 0, dtype),
-            pz=mk(P("data", "map"), (batch, c * k), 0, dtype),
+            fp=mk(P("data", "map"), (batch, c), 0, jnp.uint32),
+            packed=mk(P("data", "map"), (batch, c * k),
+                      hashmap.PACKED_SENTINEL, jnp.uint32),
             counts=mk(P("data", "map"), (batch, c), 0, jnp.int32),
         ),
         threshold=threshold.ThresholdState(
@@ -253,7 +266,7 @@ def make_sharded_step(config: Config, mesh, donate: bool = True):
     dm = P("data", "map")
     state_specs = OdometryState(
         pose=P("data"),
-        map=hashmap.MapState(kx=dm, ky=dm, kz=dm, px=dm, py=dm, pz=dm,
+        map=hashmap.MapState(kx=dm, ky=dm, kz=dm, fp=dm, packed=dm,
                              counts=dm),
         threshold=threshold.ThresholdState(odom_sse=P("data"),
                                            num_samples=P("data")),

@@ -70,7 +70,7 @@ class LidarOdometryServer:
 
     def local_map_pointcloud(self) -> np.ndarray:
         from .ops import hashmap
-        pts, mask = hashmap.pointcloud(self.state.map)
+        pts, mask = hashmap.pointcloud(self.state.map, self.config.voxel_size)
         arr = np.stack([np.asarray(pts.x), np.asarray(pts.y),
                         np.asarray(pts.z)], axis=-1)
         return arr[np.asarray(mask)]

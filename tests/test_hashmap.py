@@ -72,11 +72,11 @@ class TestInsert:
         assert int(hashmap.num_voxels(m)) == 1
         assert int(jnp.sum(m.counts)) == K
         # the first K points (input order) must be the stored ones
-        slot = int(jnp.argmax(m.counts))
-        stored = np.stack([np.asarray(m.px[slot*K:slot*K+K]),
-                           np.asarray(m.py[slot*K:slot*K+K]),
-                           np.asarray(m.pz[slot*K:slot*K+K])], axis=-1)
-        np.testing.assert_allclose(stored, pts[:K].astype(np.float32), atol=1e-6)
+        # (packed 10-bit offsets => ~1 mm quantization)
+        cloud, cmask = hashmap.pointcloud(m, VS)
+        stored = np.asarray(cloud.to_array())[np.asarray(cmask)]
+        ref = np.sort(pts[:K], axis=0)
+        np.testing.assert_allclose(np.sort(stored, axis=0), ref, atol=2e-3)
 
     def test_incremental_append(self):
         m = insert(make_map(), [[0.1, 0.1, 0.1]])
@@ -108,13 +108,13 @@ class TestNearestNeighbor:
     def test_exact_match(self):
         m = insert(make_map(), [[0.5, 0.5, 0.5]])
         nn, d = nn_arr(m, [[0.5, 0.5, 0.5]], [True], VS, P)
-        assert float(d[0]) < 1e-6
+        assert float(d[0]) < 2e-3
 
     def test_neighboring_voxel(self):
         m = insert(make_map(), [[1.1, 0.5, 0.5]])
         nn, d = nn_arr(m, [[0.9, 0.5, 0.5]], [True], VS, P)
-        assert abs(float(d[0]) - 0.2) < 1e-5
-        np.testing.assert_allclose(nn[0], [1.1, 0.5, 0.5], atol=1e-6)
+        assert abs(float(d[0]) - 0.2) < 2e-3
+        np.testing.assert_allclose(nn[0], [1.1, 0.5, 0.5], atol=2e-3)
 
     def test_outside_neighborhood_returns_inf(self):
         m = insert(make_map(), [[10.5, 10.5, 10.5]])
@@ -137,31 +137,31 @@ class TestNearestNeighbor:
             if np.isinf(ref_d):
                 assert np.isinf(d[i])
             else:
-                assert abs(d[i] - ref_d) < 1e-4, (i, d[i], ref_d)
+                assert abs(d[i] - ref_d) < 2e-3, (i, d[i], ref_d)
 
 
 class TestEvictAndUpdate:
     def test_evict_far(self):
         m = insert(make_map(), [[0.5, 0.5, 0.5], [50.5, 0.5, 0.5]])
-        m = hashmap.evict_far(m, jnp.zeros(3), 10.0)
+        m = hashmap.evict_far(m, jnp.zeros(3), 10.0, VS)
         assert int(hashmap.num_voxels(m)) == 1
         _, d = nn_arr(m, [[0.5, 0.5, 0.5]], [True], VS, P)
-        assert float(d[0]) < 1e-6
+        assert float(d[0]) < 2e-3
 
     def test_evict_uses_first_point(self):
         # Block's first point decides eviction (v1.2.0 semantics).
         m = insert(make_map(), [[9.9, 0.0, 0.5], [9.2, 0.0, 0.5]])
         # both in voxel (9, 0, 0); first point at 9.9 (norm > 9.5)
-        m = hashmap.evict_far(m, jnp.zeros(3), 9.5)
+        m = hashmap.evict_far(m, jnp.zeros(3), 9.5, VS)
         assert int(hashmap.num_voxels(m)) == 0
 
     def test_slot_reuse_after_eviction(self):
         m = insert(make_map(), [[50.5, 0.5, 0.5]])
-        m = hashmap.evict_far(m, jnp.zeros(3), 10.0)
+        m = hashmap.evict_far(m, jnp.zeros(3), 10.0, VS)
         m = insert(m, [[50.5, 0.5, 0.5]])
         assert int(hashmap.num_voxels(m)) == 1
         nn, d = nn_arr(m, [[50.5, 0.5, 0.5]], [True], VS, P)
-        assert float(d[0]) < 1e-6
+        assert float(d[0]) < 2e-3
 
     def test_update_transform_insert_evict(self):
         pose = np.eye(4, dtype=np.float32)
@@ -172,19 +172,19 @@ class TestEvictAndUpdate:
         assert int(hashmap.num_voxels(m)) == 2
         # stored in world frame
         nn, d = nn_arr(m, [[101.0, 0.5, 0.5]], [True], VS, P)
-        assert float(d[0]) < 1e-5
+        assert float(d[0]) < 2e-3
 
     def test_pointcloud_roundtrip(self):
         pts = RNG.uniform(-5, 5, size=(100, 3))
         m = insert(make_map(), pts)
-        cloud, mask = hashmap.pointcloud(m)
+        cloud, mask = hashmap.pointcloud(m, VS)
         stored = np.asarray(cloud.to_array())[np.asarray(mask)]
         grid = oracle_map([pts])
         ref = np.concatenate([np.array(b) for b in grid.values()])
         assert len(stored) == len(ref)
-        assert ({tuple(np.round(np.asarray(p, np.float64), 4)) for p in stored}
-                == {tuple(np.round(np.asarray(p, np.float64), 4))
-                    for p in ref.astype(np.float32)})
+        # quantized storage: match by sorted order within 2 mm
+        np.testing.assert_allclose(
+            np.sort(stored, axis=0), np.sort(ref, axis=0), atol=2e-3)
 
 
 class TestProbeRobustness:
@@ -194,11 +194,11 @@ class TestProbeRobustness:
         pts = np.array([[i + 0.5, 0.5, 0.5] for i in range(64)], np.float32)
         m = insert(make_map(), pts)
         # evict everything farther than 32 from origin
-        m = hashmap.evict_far(m, jnp.zeros(3), 32.0)
+        m = hashmap.evict_far(m, jnp.zeros(3), 32.0, VS)
         remaining = int(hashmap.num_voxels(m))
         assert 0 < remaining < 64
         _, d = nn_arr(m, pts[:16], np.ones(16, bool), VS, P)
-        assert np.all(d < 1e-5)
+        assert np.all(d < 2e-3)
 
     def test_high_load_factor_inserts(self):
         # ~50% load: all inserts must still land (with drops counted fairly).
