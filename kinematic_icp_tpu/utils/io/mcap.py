@@ -1,0 +1,272 @@
+"""Minimal MCAP container reader/writer (pure Python, no mcap package).
+
+Replaces the rosbag2 storage layer used by the reference's offline path
+(ros/src/kinematic_icp_ros/utils/RosbagUtils.cpp): reads the subset of MCAP
+that rosbag2 writes — Header/Schema/Channel/Message records, optionally
+wrapped in zstd- or uncompressed Chunks — and writes valid minimal files for
+round-trip tests and dataset conversion.  lz4 chunks raise a clear error
+(no lz4 module in this environment).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import struct
+from typing import Iterator, Optional
+
+MAGIC = b"\x89MCAP0\r\n"
+
+OP_HEADER = 0x01
+OP_FOOTER = 0x02
+OP_SCHEMA = 0x03
+OP_CHANNEL = 0x04
+OP_MESSAGE = 0x05
+OP_CHUNK = 0x06
+OP_DATA_END = 0x0F
+
+
+@dataclasses.dataclass
+class Schema:
+    id: int
+    name: str
+    encoding: str
+    data: bytes
+
+
+@dataclasses.dataclass
+class Channel:
+    id: int
+    schema_id: int
+    topic: str
+    message_encoding: str
+
+
+@dataclasses.dataclass
+class Message:
+    channel: Channel
+    schema: Optional[Schema]
+    log_time: int       # nanoseconds
+    publish_time: int
+    sequence: int
+    data: bytes
+
+    @property
+    def log_time_sec(self) -> float:
+        return self.log_time * 1e-9
+
+
+def _read_prefixed_string(buf, pos):
+    n = struct.unpack_from("<I", buf, pos)[0]
+    return buf[pos + 4:pos + 4 + n].decode("utf-8"), pos + 4 + n
+
+
+class McapReader:
+    """Streaming reader yielding Messages in file order."""
+
+    def __init__(self, path_or_file):
+        if hasattr(path_or_file, "read"):
+            self._f = path_or_file
+            self._owns = False
+        else:
+            self._f = open(path_or_file, "rb")
+            self._owns = True
+        magic = self._f.read(8)
+        if magic != MAGIC:
+            raise ValueError(f"not an MCAP file (magic {magic!r})")
+        self.schemas: dict[int, Schema] = {}
+        self.channels: dict[int, Channel] = {}
+
+    def close(self):
+        if self._owns:
+            self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ------------------------------------------------------------------
+    def _parse_schema(self, rec: bytes):
+        sid, = struct.unpack_from("<H", rec, 0)
+        name, pos = _read_prefixed_string(rec, 2)
+        enc, pos = _read_prefixed_string(rec, pos)
+        dlen, = struct.unpack_from("<I", rec, pos)
+        data = rec[pos + 4:pos + 4 + dlen]
+        self.schemas[sid] = Schema(sid, name, enc, data)
+
+    def _parse_channel(self, rec: bytes):
+        cid, sid = struct.unpack_from("<HH", rec, 0)
+        topic, pos = _read_prefixed_string(rec, 4)
+        enc, pos = _read_prefixed_string(rec, pos)
+        self.channels[cid] = Channel(cid, sid, topic, enc)
+
+    def _parse_message(self, rec: bytes) -> Message:
+        cid, seq, log_t, pub_t = struct.unpack_from("<HIQQ", rec, 0)
+        ch = self.channels.get(cid)
+        if ch is None:
+            raise ValueError(f"message on unknown channel {cid}")
+        schema = self.schemas.get(ch.schema_id)
+        return Message(ch, schema, log_t, pub_t, seq, rec[22:])
+
+    def _iter_records(self, buf: bytes) -> Iterator[tuple[int, bytes]]:
+        pos = 0
+        while pos + 9 <= len(buf):
+            op = buf[pos]
+            length, = struct.unpack_from("<Q", buf, pos + 1)
+            pos += 9
+            yield op, buf[pos:pos + length]
+            pos += length
+
+    def messages(self, topics=None) -> Iterator[Message]:
+        """Yield messages (optionally filtered by topic set), file order."""
+        topics = set(topics) if topics else None
+        while True:
+            head = self._f.read(9)
+            if len(head) < 9:
+                return
+            op = head[0]
+            length, = struct.unpack("<Q", head[1:])
+            if op == OP_FOOTER or op == 0:
+                return
+            rec = self._f.read(length)
+            if op == OP_SCHEMA:
+                self._parse_schema(rec)
+            elif op == OP_CHANNEL:
+                self._parse_channel(rec)
+            elif op == OP_MESSAGE:
+                msg = self._parse_message(rec)
+                if topics is None or msg.channel.topic in topics:
+                    yield msg
+            elif op == OP_CHUNK:
+                yield from self._iter_chunk(rec, topics)
+            # other records (indexes, stats, attachments) are skipped
+
+    def _iter_chunk(self, rec: bytes, topics) -> Iterator[Message]:
+        # Chunk: start_time(8) end_time(8) uncompressed_size(8)
+        #        uncompressed_crc(4) compression(string) records_len(8) records
+        pos = 28
+        compression, pos = _read_prefixed_string(rec, pos)
+        rlen, = struct.unpack_from("<Q", rec, pos)
+        pos += 8
+        payload = rec[pos:pos + rlen]
+        if compression in ("", "none"):
+            records = payload
+        elif compression == "zstd":
+            import zstandard
+            records = zstandard.ZstdDecompressor().decompress(
+                payload, max_output_size=1 << 31)
+        elif compression == "lz4":
+            try:
+                import lz4.frame
+                records = lz4.frame.decompress(payload)
+            except ImportError as e:
+                raise RuntimeError(
+                    "this MCAP uses lz4 chunk compression and no lz4 module "
+                    "is available; re-record with zstd or install lz4") from e
+        else:
+            raise ValueError(f"unknown chunk compression {compression!r}")
+        for op, body in self._iter_records(records):
+            if op == OP_SCHEMA:
+                self._parse_schema(body)
+            elif op == OP_CHANNEL:
+                self._parse_channel(body)
+            elif op == OP_MESSAGE:
+                msg = self._parse_message(body)
+                if topics is None or msg.channel.topic in topics:
+                    yield msg
+
+    # ------------------------------------------------------------------
+    def count_messages(self, topic: str) -> int:
+        """Count messages on a topic (full rescan from the start; the
+        reference counts via metadata, RosbagUtils.cpp:82-93)."""
+        pos = self._f.tell()
+        self._f.seek(len(MAGIC))
+        n = sum(1 for _ in self.messages([topic]))
+        self._f.seek(pos)
+        return n
+
+
+class McapWriter:
+    """Minimal writer: header + schemas/channels + (chunked) messages."""
+
+    def __init__(self, path_or_file, profile: str = "ros2",
+                 compression: str = ""):
+        if hasattr(path_or_file, "write"):
+            self._f = path_or_file
+            self._owns = False
+        else:
+            self._f = open(path_or_file, "wb")
+            self._owns = True
+        assert compression in ("", "zstd")
+        self.compression = compression
+        self._schemas: dict[str, int] = {}
+        self._channels: dict[str, int] = {}
+        self._schema_recs: list[bytes] = []
+        self._channel_recs: list[bytes] = []
+        self._messages: list[bytes] = []
+        self._f.write(MAGIC)
+        self._record(OP_HEADER, self._string(profile) + self._string(
+            "kinematic_icp_tpu"))
+
+    @staticmethod
+    def _string(s: str) -> bytes:
+        raw = s.encode("utf-8")
+        return struct.pack("<I", len(raw)) + raw
+
+    def _record_bytes(self, op: int, body: bytes) -> bytes:
+        return struct.pack("<BQ", op, len(body)) + body
+
+    def _record(self, op: int, body: bytes):
+        self._f.write(self._record_bytes(op, body))
+
+    def add_schema(self, name: str, encoding: str = "ros2msg",
+                   data: bytes = b"") -> int:
+        if name in self._schemas:
+            return self._schemas[name]
+        sid = len(self._schemas) + 1
+        self._schemas[name] = sid
+        body = (struct.pack("<H", sid) + self._string(name)
+                + self._string(encoding)
+                + struct.pack("<I", len(data)) + data)
+        self._schema_recs.append(self._record_bytes(OP_SCHEMA, body))
+        self._f.write(self._schema_recs[-1])
+        return sid
+
+    def add_channel(self, topic: str, schema_name: str,
+                    message_encoding: str = "cdr") -> int:
+        if topic in self._channels:
+            return self._channels[topic]
+        sid = self.add_schema(schema_name)
+        cid = len(self._channels)
+        self._channels[topic] = cid
+        body = (struct.pack("<HH", cid, sid) + self._string(topic)
+                + self._string(message_encoding) + struct.pack("<I", 0))
+        self._channel_recs.append(self._record_bytes(OP_CHANNEL, body))
+        self._f.write(self._channel_recs[-1])
+        return cid
+
+    def write_message(self, topic: str, schema_name: str, data: bytes,
+                      log_time_ns: int, publish_time_ns: int | None = None,
+                      sequence: int = 0):
+        cid = self.add_channel(topic, schema_name)
+        if publish_time_ns is None:
+            publish_time_ns = log_time_ns
+        body = struct.pack("<HIQQ", cid, sequence, log_time_ns,
+                           publish_time_ns) + data
+        self._record(OP_MESSAGE, body)
+
+    def close(self):
+        self._record(OP_DATA_END, struct.pack("<I", 0))
+        # footer: summary_start(8) summary_offset_start(8) summary_crc(4)
+        self._record(OP_FOOTER, struct.pack("<QQI", 0, 0, 0))
+        self._f.write(MAGIC)
+        if self._owns:
+            self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

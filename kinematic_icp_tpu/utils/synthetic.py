@@ -210,4 +210,54 @@ def make_sequence(num_frames=50, *, world_seed=0, traj_seed=1, noise_seed=2,
         "gt_poses": gt,
         "extrinsic": ext,
         "world": world,
+        "scan_duration": lidar.scan_duration,
     }
+
+
+def write_sequence_to_mcap(seq, path, *, lidar_topic="/lidar_points",
+                           base_frame="base_link", odom_frame="odom",
+                           lidar_frame="lidar", rate_hz=10.0,
+                           start_time=1700000000.0):
+    """Serialize a synthetic sequence as a ROS2-style mcap bag.
+
+    Publishes the scans on ``lidar_topic`` (PointCloud2, begin-of-scan
+    header stamping with a float32 ``t`` field of scan-relative seconds —
+    the convention the reference's stamp heuristic classifies robustly;
+    end-of-scan absolute stamping cannot satisfy its 1e-8 equality check in
+    float64 at epoch magnitudes), the NOISY integrated wheel odometry on
+    ``/tf`` (odom -> base_link), and the static extrinsic on ``/tf_static``
+    — the exact input surface the reference offline node consumes
+    (README.md:100-112 workflow).
+    """
+    from .io.mcap import McapWriter
+    from .io.messages import PointCloud2, TFMessage, TransformStamped
+
+    dt = 1.0 / rate_hz
+    scan_dur = seq.get("scan_duration", 0.1)
+    writer = McapWriter(path)
+    # static extrinsic
+    static = TFMessage([TransformStamped.from_matrix(
+        seq["extrinsic"], start_time, base_frame, lidar_frame)])
+    writer.write_message("/tf_static", "tf2_msgs/msg/TFMessage",
+                         static.encode(), int(start_time * 1e9))
+    odom_pose = np.eye(4)
+    num_frames = len(seq["frames"])
+    for k in range(num_frames):
+        stamp = start_time + k * dt  # end-of-scan stamp
+        odom_pose = odom_pose @ seq["rel_odometry"][k]
+        tf_msg = TFMessage([TransformStamped.from_matrix(
+            odom_pose, stamp, odom_frame, base_frame)])
+        writer.write_message("/tf", "tf2_msgs/msg/TFMessage",
+                             tf_msg.encode(), int(stamp * 1e9))
+        pts, taus = seq["frames"][k]
+        # begin-stamped: header at scan start, per-point times relative; the
+        # TimeStampHandler extends the end stamp by the scan duration.
+        rel_ts = np.asarray(taus, np.float32) * scan_dur
+        cloud = PointCloud2.from_xyz(
+            pts, stamp=stamp - scan_dur, frame_id=lidar_frame,
+            timestamps=rel_ts, timestamp_field="t",
+            timestamp_type=7)  # FLOAT32
+        writer.write_message(lidar_topic, "sensor_msgs/msg/PointCloud2",
+                             cloud.encode(), int(stamp * 1e9))
+    writer.close()
+    return path

@@ -1,0 +1,265 @@
+"""Tests for the ingestion stack: CDR, messages, mcap, tf, timestamps."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from kinematic_icp_tpu.utils.io.bag import (BagMultiplexer, BufferableBag,
+                                            decode_message)
+from kinematic_icp_tpu.utils.io.laserscan import project_laser
+from kinematic_icp_tpu.utils.io.mcap import McapReader, McapWriter
+from kinematic_icp_tpu.utils.io.messages import (Header, LaserScan, Odometry,
+                                                 PointCloud2, PointFieldType,
+                                                 TFMessage, Time,
+                                                 TransformStamped)
+from kinematic_icp_tpu.utils.io.tf import TransformBuffer
+from kinematic_icp_tpu.utils.io.timestamps import TimeStampHandler
+from kinematic_icp_tpu.utils.synthetic import planar_pose
+
+RNG = np.random.default_rng(8)
+
+
+class TestPointCloud2Codec:
+    def test_roundtrip(self):
+        pts = RNG.normal(size=(100, 3)).astype(np.float32)
+        ts = RNG.uniform(0, 0.1, 100)
+        msg = PointCloud2.from_xyz(pts, stamp=123.456, frame_id="lidar",
+                                   timestamps=ts, timestamp_field="timestamp",
+                                   timestamp_type=PointFieldType.FLOAT64)
+        decoded = PointCloud2.decode(msg.encode())
+        assert decoded.header.frame_id == "lidar"
+        assert abs(decoded.header.stamp.to_sec() - 123.456) < 1e-6
+        np.testing.assert_allclose(decoded.xyz(), pts, atol=0)
+        np.testing.assert_allclose(decoded.field_array("timestamp"), ts,
+                                   atol=0)
+
+    def test_uint32_timestamp_field(self):
+        pts = RNG.normal(size=(10, 3)).astype(np.float32)
+        ts = (RNG.uniform(0, 0.1, 10) * 1e9).astype(np.uint32)
+        msg = PointCloud2.from_xyz(pts, timestamps=ts, timestamp_field="t",
+                                   timestamp_type=PointFieldType.UINT32)
+        decoded = PointCloud2.decode(msg.encode())
+        np.testing.assert_array_equal(decoded.field_array("t"), ts)
+
+    def test_missing_field_none(self):
+        msg = PointCloud2.from_xyz(RNG.normal(size=(5, 3)))
+        assert msg.field_array("t") is None
+
+
+class TestLaserScan:
+    def test_roundtrip_and_projection(self):
+        n = 360
+        scan = LaserScan(
+            header=Header(Time.from_sec(10.0), "laser"),
+            angle_min=-np.pi, angle_max=np.pi,
+            angle_increment=2 * np.pi / n, time_increment=1e-4,
+            scan_time=n * 1e-4, range_min=0.1, range_max=30.0,
+            ranges=RNG.uniform(1, 20, n).astype(np.float32),
+            intensities=np.zeros(n, np.float32))
+        decoded = LaserScan.decode(scan.encode())
+        np.testing.assert_allclose(decoded.ranges, scan.ranges, atol=0)
+        cloud = project_laser(decoded)
+        xyz = cloud.xyz()
+        assert len(xyz) == n  # all ranges valid here
+        r = np.linalg.norm(xyz[:, :2], axis=1)
+        np.testing.assert_allclose(r, scan.ranges, rtol=1e-5)
+        np.testing.assert_allclose(xyz[:, 2], 0.0, atol=0)
+        stamps = cloud.field_array("stamps")
+        np.testing.assert_allclose(stamps, np.arange(n) * 1e-4, atol=1e-9)
+
+    def test_projection_filters_invalid(self):
+        scan = LaserScan(
+            angle_min=0.0, angle_max=0.3, angle_increment=0.1,
+            time_increment=0.0, scan_time=0.0, range_min=1.0, range_max=10.0,
+            ranges=np.array([0.5, 5.0, np.inf, np.nan], np.float32),
+            intensities=np.zeros(4, np.float32))
+        cloud = project_laser(scan)
+        assert cloud.width == 1
+
+
+class TestTFAndOdometry:
+    def test_tf_roundtrip(self):
+        T = planar_pose(1.0, 2.0, 0.5)
+        msg = TFMessage([TransformStamped.from_matrix(T, 5.0, "odom", "base")])
+        decoded = TFMessage.decode(msg.encode())
+        np.testing.assert_allclose(decoded.transforms[0].matrix(), T,
+                                   atol=1e-12)
+        assert decoded.transforms[0].header.frame_id == "odom"
+        assert decoded.transforms[0].child_frame_id == "base"
+
+    def test_odometry_roundtrip(self):
+        msg = Odometry(header=Header(Time.from_sec(2.0), "odom"),
+                       child_frame_id="base",
+                       position=np.array([1.0, 2.0, 3.0]),
+                       orientation=np.array([0.0, 0, 0, 1]),
+                       pose_covariance=np.arange(36, dtype=np.float64))
+        decoded = Odometry.decode(msg.encode())
+        np.testing.assert_allclose(decoded.position, msg.position)
+        np.testing.assert_allclose(decoded.pose_covariance,
+                                   msg.pose_covariance)
+
+
+class TestMcap:
+    def test_roundtrip_memory(self):
+        buf = io.BytesIO()
+        w = McapWriter(buf)
+        pts = RNG.normal(size=(20, 3)).astype(np.float32)
+        cloud = PointCloud2.from_xyz(pts, stamp=1.5, frame_id="lidar")
+        w.write_message("/points", "sensor_msgs/msg/PointCloud2",
+                        cloud.encode(), int(1.5e9))
+        tfm = TFMessage([TransformStamped.from_matrix(
+            np.eye(4), 1.5, "odom", "base")])
+        w.write_message("/tf", "tf2_msgs/msg/TFMessage", tfm.encode(),
+                        int(1.5e9))
+        w.close()
+
+        buf.seek(0)
+        r = McapReader(buf)
+        msgs = list(r.messages())
+        assert len(msgs) == 2
+        assert msgs[0].channel.topic == "/points"
+        assert msgs[0].schema.name == "sensor_msgs/msg/PointCloud2"
+        decoded = decode_message(msgs[0])
+        np.testing.assert_allclose(decoded.xyz(), pts, atol=0)
+        assert abs(msgs[0].log_time_sec - 1.5) < 1e-9
+
+    def test_topic_filter(self):
+        buf = io.BytesIO()
+        w = McapWriter(buf)
+        for i in range(5):
+            w.write_message("/a", "tf2_msgs/msg/TFMessage",
+                            TFMessage().encode(), i)
+            w.write_message("/b", "tf2_msgs/msg/TFMessage",
+                            TFMessage().encode(), i)
+        w.close()
+        buf.seek(0)
+        msgs = list(McapReader(buf).messages(["/a"]))
+        assert len(msgs) == 5
+
+    def test_bad_magic(self):
+        with pytest.raises(ValueError):
+            McapReader(io.BytesIO(b"not an mcap file...."))
+
+
+class TestTransformBuffer:
+    def test_static_and_dynamic_chain(self):
+        tfb = TransformBuffer()
+        ext = planar_pose(0.2, 0.0, 0.1)
+        tfb.set_transform("base", "lidar", ext, 0.0, is_static=True)
+        X0 = planar_pose(0, 0, 0)
+        X1 = planar_pose(1.0, 0.0, 0.2)
+        tfb.set_transform("odom", "base", X0, 0.0)
+        tfb.set_transform("odom", "base", X1, 1.0)
+        # interpolation at t=0.5
+        T = tfb.lookup_transform("odom", "base", 0.5)
+        assert abs(T[0, 3] - 0.5) < 1e-9
+        # chain odom -> lidar
+        T2 = tfb.lookup_transform("odom", "lidar", 1.0)
+        np.testing.assert_allclose(T2, X1 @ ext, atol=1e-12)
+
+    def test_delta_lookup(self):
+        tfb = TransformBuffer()
+        X0 = planar_pose(0, 0, 0)
+        X1 = planar_pose(1.0, 0.5, 0.3)
+        tfb.set_transform("odom", "base", X0, 10.0)
+        tfb.set_transform("odom", "base", X1, 11.0)
+        delta = tfb.lookup_delta_transform("base", 10.0, 11.0, "odom")
+        np.testing.assert_allclose(delta, np.linalg.inv(X0) @ X1, atol=1e-9)
+
+    def test_missing_frame_identity(self):
+        tfb = TransformBuffer()
+        T = tfb.lookup_transform("nope", "nothing")
+        np.testing.assert_allclose(T, np.eye(4))
+
+
+class TestTimeStampHandler:
+    def _cloud(self, stamp, ts, field="t", ftype=PointFieldType.FLOAT64):
+        pts = RNG.normal(size=(len(ts), 3)).astype(np.float32)
+        return PointCloud2.from_xyz(pts, stamp=stamp, timestamps=ts,
+                                    timestamp_field=field,
+                                    timestamp_type=ftype)
+
+    def test_end_stamped_normalization(self):
+        h = TimeStampHandler()
+        h.last_processed_stamp = 99.9
+        ts = np.linspace(99.9, 100.0, 50)
+        begin, end, norm = h.process_timestamps(self._cloud(100.0, ts))
+        assert begin == 99.9
+        assert abs(end - 100.0) < 1e-9
+        np.testing.assert_allclose(norm, np.linspace(0, 1, 50), atol=1e-6)
+
+    def test_begin_stamped_extends_end(self):
+        h = TimeStampHandler()
+        ts = np.linspace(100.0, 100.1, 50)
+        begin, end, norm = h.process_timestamps(self._cloud(100.0, ts))
+        assert abs(end - 100.1) < 1e-6
+        assert h.last_processed_stamp == end
+
+    def test_nanosecond_autodetect(self):
+        h = TimeStampHandler()
+        ts_ns = np.linspace(100.0e9, 100.1e9, 30)
+        begin, end, norm = h.process_timestamps(
+            self._cloud(100.1, ts_ns))
+        np.testing.assert_allclose(norm[0], 0.0, atol=1e-6)
+        np.testing.assert_allclose(norm[-1], 1.0, atol=1e-6)
+        assert abs(end - 100.1) < 1e-6  # detected as end-stamped
+
+    def test_missing_field_disables_deskew(self):
+        h = TimeStampHandler()
+        cloud = PointCloud2.from_xyz(RNG.normal(size=(10, 3)))
+        cloud.header = Header(Time.from_sec(5.0), "lidar")
+        begin, end, norm = h.process_timestamps(cloud)
+        assert norm is None
+        assert end == 5.0
+
+    def test_last_field_wins(self):
+        # two candidate fields: the later one is used (C++ loop semantics)
+        pts = RNG.normal(size=(10, 3)).astype(np.float32)
+        msg = PointCloud2.from_xyz(pts, stamp=1.0)
+        # manually append two timestamp-ish fields pointing at same data
+        from kinematic_icp_tpu.utils.io.messages import PointField
+        # rebuild with a 'time' field only
+        ts = np.linspace(0.9, 1.0, 10)
+        msg = PointCloud2.from_xyz(pts, stamp=1.0, timestamps=ts,
+                                   timestamp_field="time",
+                                   timestamp_type=PointFieldType.FLOAT64)
+        h = TimeStampHandler()
+        _, _, norm = h.process_timestamps(msg)
+        assert norm is not None
+
+
+class TestBufferableBag:
+    def _make_bag(self, path, n=20):
+        from kinematic_icp_tpu.utils.synthetic import make_sequence, \
+            write_sequence_to_mcap
+        seq = make_sequence(n)
+        write_sequence_to_mcap(seq, path)
+        return seq
+
+    def test_tf_lookahead(self, tmp_path):
+        path = str(tmp_path / "test.mcap")
+        self._make_bag(path)
+        tfb = TransformBuffer()
+        bag = BufferableBag(path, tfb, "/lidar_points", buffer_size=0.3)
+        first = bag.pop_next_message()
+        # by the time the first lidar message pops, tf must be populated
+        # AHEAD of it (look-ahead window)
+        assert tfb.frame_exists("base_link")
+        assert tfb.frame_exists("lidar")
+        t0 = first.log_time_sec
+        T = tfb.lookup_transform("odom", "base_link", t0 + 0.2)
+        assert np.all(np.isfinite(T))
+
+    def test_multiplexer_chains(self, tmp_path):
+        p1, p2 = str(tmp_path / "a.mcap"), str(tmp_path / "b.mcap")
+        self._make_bag(p1, 5)
+        self._make_bag(p2, 7)
+        tfb = TransformBuffer()
+        mux = BagMultiplexer()
+        mux.add_bag(BufferableBag(p1, tfb, "/lidar_points"))
+        mux.add_bag(BufferableBag(p2, tfb, "/lidar_points"))
+        msgs = list(mux)
+        assert len(msgs) == 12
+        assert mux.message_count() == 12

@@ -1,0 +1,53 @@
+"""End-to-end: synthetic mcap bag -> offline runner -> TUM trajectory."""
+
+import os
+
+import numpy as np
+import pytest
+
+from kinematic_icp_tpu import run_odometry
+from kinematic_icp_tpu.utils import synthetic
+from kinematic_icp_tpu.utils.evaluation import ate_rmse
+from kinematic_icp_tpu.utils.io.tum import read_tum
+
+
+NUM_FRAMES = 15
+
+
+@pytest.fixture(scope="module")
+def bag(tmp_path_factory):
+    d = tmp_path_factory.mktemp("bags")
+    path = str(d / "drive.mcap")
+    seq = synthetic.make_sequence(NUM_FRAMES)
+    synthetic.write_sequence_to_mcap(seq, path)
+    return path, seq
+
+
+class TestRunOdometry:
+    def test_full_pipeline(self, bag):
+        path, seq = bag
+        out = run_odometry.main([
+            path, "--max-points", "8192", "--no-progress"])
+        assert os.path.exists(out)
+        assert out.endswith("drive_kinematic_icp_poses_tum.txt")
+        stamps, poses = read_tum(out)
+        # first frame is stationary-gated away by the identity delta;
+        # poses recorded from the first registered frame on
+        assert len(poses) == NUM_FRAMES
+        assert np.all(np.isfinite(stamps))
+        # trajectory should track ground truth better than raw odometry drift
+        gt = seq["gt_poses"][:len(poses)]
+        ate = ate_rmse(gt, poses, align=False)
+        dead = [np.eye(4)]
+        for rel in seq["rel_odometry"][1:]:
+            dead.append(dead[-1] @ rel)
+        ate_dead = ate_rmse(seq["gt_poses"], dead, align=False)
+        assert ate < max(0.05, ate_dead), (ate, ate_dead)
+
+    def test_max_frames(self, bag, tmp_path):
+        path, _ = bag
+        out = run_odometry.main([
+            path, "--max-frames", "5", "--output-dir", str(tmp_path),
+            "--max-points", "8192", "--no-progress"])
+        stamps, poses = read_tum(out)
+        assert len(poses) == 5
