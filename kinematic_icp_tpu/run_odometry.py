@@ -47,7 +47,6 @@ def run(args) -> str:
     from .utils.io.bag import BagMultiplexer, BufferableBag, decode_message
     from .utils.io.laserscan import project_laser
     from .utils.io.messages import LaserScan, PointCloud2
-    from .utils.io.timestamps import TimeStampHandler
     from .utils.io.tf import TransformBuffer
     from .utils.progress import ProgressBar
 
@@ -70,9 +69,7 @@ def run(args) -> str:
     if args.max_frames:
         total = min(total, args.max_frames)
 
-    stamps_handler = TimeStampHandler()
-    server = None
-    extrinsic = None
+    server = LidarOdometryServer(config, server_cfg)
     progress = (None if args.no_progress
                 else ProgressBar(total, desc="kinematic-icp"))
 
@@ -87,27 +84,9 @@ def run(args) -> str:
             msg = project_laser(msg)
         if not isinstance(msg, PointCloud2):
             continue
-
-        if server is None:
-            # Lazy init (LidarOdometryServer.cpp:160-184): seed the pose from
-            # wheel_odom -> base, cache the base -> lidar extrinsic.  The
-            # reference seeds from the LATEST tf (TimePointZero), which with
-            # the bag reader's 1 s look-ahead is a pose up to 1 s in the
-            # future; we seed at the first message stamp instead.
-            initial_pose = tf_buffer.lookup_transform(
-                server_cfg.wheel_odom_frame, server_cfg.base_frame,
-                msg.header.stamp.to_sec())
-            extrinsic = tf_buffer.lookup_transform(
-                server_cfg.base_frame, msg.header.frame_id)
-            server = LidarOdometryServer(
-                config, server_cfg, extrinsic=extrinsic,
-                initial_pose=initial_pose)
-            stamps_handler.last_processed_stamp = msg.header.stamp.to_sec()
-
-        begin, end, norm_ts = stamps_handler.process_timestamps(msg)
-        delta = tf_buffer.lookup_delta_transform(
-            server_cfg.base_frame, begin, end, server_cfg.wheel_odom_frame)
-        server.register_frame(msg.xyz(), norm_ts, delta, stamp=end)
+        result = server.register_message(msg, tf_buffer)
+        if result is None:
+            continue  # awaiting tf initialization
         processed += 1
         if progress:
             progress.update()

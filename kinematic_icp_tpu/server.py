@@ -57,6 +57,9 @@ class LidarOdometryServer:
         self.poses_with_stamps: list[tuple[float, np.ndarray]] = []
         self.frames_registered = 0
         self.frames_skipped = 0
+        # message-interface state (lazy init like LidarOdometryServer.cpp:160)
+        self._initialized = initial_pose is not None or extrinsic is not None
+        self._stamps_handler = None
 
     # ------------------------------------------------------------------
     @property
@@ -137,6 +140,85 @@ class LidarOdometryServer:
             self.last_stamp = stamp
             self.poses_with_stamps.append((stamp, new_pose))
         return {"pose": new_pose, "twist": twist, "registered": registered}
+
+    # ------------------------------------------------------------------
+    # Message-level interface (the full L2 behavior of the reference
+    # server: lazy tf init, timestamp handling, odometry delta lookup).
+    # ------------------------------------------------------------------
+    def register_message(self, msg, tf_buffer):
+        """Process one PointCloud2 against a TransformBuffer.
+
+        Mirrors LidarOdometryServer::RegisterFrame (cpp:186-218): lazy
+        init seeds the pose from wheel_odom->base and caches the
+        base->lidar extrinsic; per frame, timestamps are processed, the
+        wheel-odometry delta between scan stamps is looked up, and the
+        scan is registered.  Returns the register_frame result dict (or
+        None while initialization is pending).
+        """
+        from .utils.io.timestamps import TimeStampHandler
+
+        if self._stamps_handler is None:
+            self._stamps_handler = TimeStampHandler()
+        cfg = self.server_config
+        if not self._initialized:
+            if not (tf_buffer.frame_exists(cfg.wheel_odom_frame)
+                    and tf_buffer.frame_exists(cfg.base_frame)
+                    and tf_buffer.frame_exists(msg.header.frame_id)):
+                return None  # wait for tf, like cpp:141-145
+            stamp = msg.header.stamp.to_sec()
+            seed = tf_buffer.lookup_transform(
+                cfg.wheel_odom_frame, cfg.base_frame, stamp)
+            self.set_pose(seed)
+            self.extrinsic = tf_buffer.lookup_transform(
+                cfg.base_frame, msg.header.frame_id, stamp)
+            self._stamps_handler.last_processed_stamp = stamp
+            self._initialized = True
+
+        begin, end, norm_ts = self._stamps_handler.process_timestamps(msg)
+        delta = tf_buffer.lookup_delta_transform(
+            cfg.base_frame, begin, end, cfg.wheel_odom_frame)
+        return self.register_frame(msg.xyz(), norm_ts, delta, stamp=end)
+
+    def make_odometry_message(self, result, stamp: float):
+        """nav_msgs/Odometry with the parameterized fixed covariance
+        (PublishOdometryMsg parity, LidarOdometryServer.cpp:144-157,220-238).
+        """
+        from scipy.spatial.transform import Rotation
+
+        from .utils.io.messages import Header, Odometry, Time
+
+        cfg = self.server_config
+        pose = result["pose"]
+        cov = np.zeros(36)
+        cov[0] = cov[7] = cfg.position_covariance
+        cov[35] = cfg.orientation_covariance
+        twist = result.get("twist")
+        msg = Odometry(
+            header=Header(Time.from_sec(stamp), cfg.lidar_odom_frame),
+            child_frame_id=cfg.base_frame,
+            position=pose[:3, 3].copy(),
+            orientation=Rotation.from_matrix(pose[:3, :3]).as_quat(),
+            pose_covariance=cov,
+            twist_linear=(np.zeros(3) if twist is None else twist[:3]),
+            twist_angular=(np.zeros(3) if twist is None else twist[3:]),
+            twist_covariance=cov.copy())
+        return msg
+
+    def make_tf_message(self, result, stamp: float):
+        """The odometry tf edge, optionally inverted to satisfy tf's
+        single-parent rule (LidarOdometryServer.cpp:105-123,130-142)."""
+        from .utils.io.messages import TFMessage, TransformStamped
+
+        cfg = self.server_config
+        pose = result["pose"]
+        if cfg.invert_odom_tf:
+            t = TransformStamped.from_matrix(
+                np.linalg.inv(pose), stamp, cfg.base_frame,
+                cfg.lidar_odom_frame)
+        else:
+            t = TransformStamped.from_matrix(
+                pose, stamp, cfg.lidar_odom_frame, cfg.base_frame)
+        return TFMessage([t])
 
     # ------------------------------------------------------------------
     def write_tum(self, path):

@@ -1,0 +1,141 @@
+"""Tests: 2D mode end-to-end, online node, checkpointing, profiling, viz."""
+
+import os
+
+import numpy as np
+import pytest
+
+from kinematic_icp_tpu import Config, run_odometry
+from kinematic_icp_tpu.models import pipeline
+from kinematic_icp_tpu.online import OnlineOdometryNode
+from kinematic_icp_tpu.utils import synthetic
+from kinematic_icp_tpu.utils.checkpoint import load_config, load_state, save_state
+from kinematic_icp_tpu.utils.evaluation import ate_rmse
+from kinematic_icp_tpu.utils.io.mcap import McapReader
+from kinematic_icp_tpu.utils.io.bag import decode_message
+from kinematic_icp_tpu.utils.io.messages import LaserScan, PointCloud2, TFMessage
+from kinematic_icp_tpu.utils.io.tum import read_tum
+from kinematic_icp_tpu.utils.profiling import StageTimer
+from kinematic_icp_tpu.utils.visualization import (voxel_grid_segments,
+                                                   write_ply,
+                                                   write_voxel_grid_ply)
+
+NUM_FRAMES = 12
+
+
+@pytest.fixture(scope="module")
+def bag_with_2d(tmp_path_factory):
+    d = tmp_path_factory.mktemp("bags2d")
+    path = str(d / "dual.mcap")
+    seq = synthetic.make_sequence(NUM_FRAMES)
+    synthetic.write_sequence_to_mcap(seq, path, scan_2d_topic="/front_scan")
+    return path, seq
+
+
+class Test2DMode:
+    def test_2d_offline_run(self, bag_with_2d, tmp_path):
+        path, seq = bag_with_2d
+        out = run_odometry.main([
+            path, "--use-2d-lidar", "--lidar-topic", "/front_scan",
+            "--output-dir", str(tmp_path), "--max-points", "4096",
+            "--no-progress"])
+        stamps, poses = read_tum(out)
+        assert len(poses) == NUM_FRAMES
+        # planar scans of the same world: should still track odometry-level
+        gt = seq["gt_poses"][:len(poses)]
+        ate = ate_rmse(gt, poses, align=False)
+        dead = [np.eye(4)]
+        for rel in seq["rel_odometry"][1:]:
+            dead.append(dead[-1] @ rel)
+        ate_dead = ate_rmse(seq["gt_poses"], dead, align=False)
+        assert ate < max(0.08, 1.2 * ate_dead), (ate, ate_dead)
+
+
+class TestOnlineNode:
+    def test_stream_processing(self, bag_with_2d):
+        path, seq = bag_with_2d
+        cfg = Config(max_points=8192, max_downsampled=8192, max_source=4096,
+                     map_capacity=1 << 14, max_range=60.0, deskew=True)
+        outputs = []
+        node = OnlineOdometryNode(
+            cfg, use_2d_lidar=False,
+            on_odometry=lambda o, t, r: outputs.append((o, t)))
+        kinds = {"/tf": "tf", "/tf_static": "tf_static",
+                 "/lidar_points": "pointcloud", "/front_scan": "laserscan"}
+        with McapReader(path) as r:
+            for raw in r.messages():
+                kind = kinds.get(raw.channel.topic)
+                if kind is None:
+                    continue
+                node.run([(kind, decode_message(raw))])
+        assert node.server.frames_registered > 0
+        assert len(outputs) == (node.server.frames_registered
+                                + node.server.frames_skipped)
+        odom, tf_msg = outputs[-1]
+        assert odom.header.frame_id == "odom_lidar"
+        assert np.all(np.isfinite(odom.position))
+        # invert_odom_tf default: tf edge is base -> odom_lidar
+        assert tf_msg.transforms[0].header.frame_id == "base_link"
+        assert odom.pose_covariance[0] == 0.1
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        cfg = Config(max_points=1024, max_downsampled=1024, max_source=512,
+                     map_capacity=1 << 10, max_range=50.0)
+        state = pipeline.init_state(cfg)
+        rng = np.random.default_rng(0)
+        import jax.numpy as jnp
+        pts = jnp.asarray(rng.uniform(-10, 10, (cfg.max_points, 3)),
+                          jnp.float32)
+        mask = jnp.ones(cfg.max_points, bool)
+        state, _ = pipeline.register_frame(
+            state, pts, jnp.zeros(cfg.max_points), mask, jnp.bool_(False),
+            jnp.eye(4), jnp.eye(4), cfg)
+        path = str(tmp_path / "ckpt.npz")
+        save_state(path, state, cfg, extra={"frame": 1})
+        restored, meta = load_state(path)
+        assert meta["extra"]["frame"] == 1
+        assert load_config(meta) == cfg
+        np.testing.assert_array_equal(np.asarray(restored.map.packed),
+                                      np.asarray(state.map.packed))
+        np.testing.assert_allclose(np.asarray(restored.pose),
+                                   np.asarray(state.pose))
+        # restored state continues running
+        state2, out = pipeline.register_frame(
+            restored, pts, jnp.zeros(cfg.max_points), mask, jnp.bool_(False),
+            jnp.eye(4), jnp.eye(4), cfg)
+        assert np.all(np.isfinite(np.asarray(out.pose)))
+
+
+class TestProfiling:
+    def test_stage_timer(self):
+        t = StageTimer(device_sync=False)
+        with t.stage("a"):
+            pass
+        with t.stage("a"):
+            pass
+        with t.stage("b"):
+            pass
+        s = t.summary()
+        assert s["a"]["count"] == 2
+        assert s["b"]["count"] == 1
+        assert "stage" in t.report()
+
+
+class TestVisualization:
+    def test_voxel_segments(self):
+        segs = voxel_grid_segments([[0, 0, 0], [1, 0, 0]], 1.0)
+        assert segs.shape == (24, 2, 3)
+        lengths = np.linalg.norm(segs[:, 1] - segs[:, 0], axis=1)
+        np.testing.assert_allclose(lengths, 1.0)
+
+    def test_ply_export(self, tmp_path):
+        pts = np.random.default_rng(0).normal(size=(10, 3))
+        p1 = str(tmp_path / "cloud.ply")
+        write_ply(p1, pts, color=(255, 0, 0))
+        content = open(p1).read()
+        assert "element vertex 10" in content
+        p2 = str(tmp_path / "grid.ply")
+        write_voxel_grid_ply(p2, [[0, 0, 0]], 0.5)
+        assert "element edge 12" in open(p2).read()
