@@ -1,4 +1,4 @@
-"""Device-resident sparse voxel hash map (the local map), gather-minimal form.
+"""Device-resident sparse voxel hash map (the local map), row-table form.
 
 TPU-native equivalent of ``kiss_icp::VoxelHashMap`` (KISS-ICP v1.2.0, used at
 /root/reference/cpp/kinematic_icp/pipeline/KinematicICP.{hpp,cpp} and
@@ -6,34 +6,34 @@ registration/Registration.cpp:74).  The CPU version is a
 ``tsl::robin_map<Voxel, VoxelBlock>``; here it becomes a fixed-capacity
 open-addressing table in HBM.
 
-Design driver: XLA TPU gathers cost ~8 ns per gathered ELEMENT (serial
-gather engine), so the query path packs everything it touches into single
-32-bit words:
+Measured TPU memory-system facts that drive this layout (see git history for
+the experiments): XLA *element* gathers cost ~8 ns per element — hopeless for
+~1M-element candidate fetches — while *row* gathers (one full minor-dim row
+per index) cost ~1-2 ns per ROW.  So one voxel = ONE table row:
 
-  * ``fp``:     (C,) uint32 — key fingerprint (second hash, high bit set);
-                0 marks a free slot.  One fingerprint gather replaces three
-                exact-key gathers during probing (false-match odds ~2^-26,
-                and a false match merely adds a distant candidate).
-  * ``packed``: (C*K,) uint32 — block points as 10/10/10-bit offsets inside
-                their voxel (~1 mm granularity at 1 m voxels); the sentinel
-                0xFFFFFFFF marks unused entries, so NO per-block count
-                gather is needed during queries.
-  * ``kx,ky,kz``: (C,) int32 exact voxel keys — insert-side find-or-allocate
-                stays exact (no fingerprint-collision voxel merging), and
-                world positions reconstruct as key*voxel_size + offset.
-  * ``counts``: (C,) int32 — insert bookkeeping only.
+    table: (C, R) uint32,  R = K + 4 lanes
+      lanes [0..K-1] : packed points — 10/10/10-bit in-voxel offsets
+                       (~1 mm at 1 m voxels); 0xFFFFFFFF = unused entry
+      lane  [K]      : key fingerprint (murmur-finalized; 0 = empty slot)
+      lanes [K+1..]  : exact voxel key (kx, ky, kz as two's-complement)
+    counts: (C,) int32 — insert bookkeeping only (queries use the packed
+                       sentinel, not counts)
 
-Collision policy: bounded linear probing with a *full-window scan* — lookups
-always examine all ``max_probes`` slots of the window, so in-place eviction
-(which punches holes in probe chains) needs no tombstones.  Inserts claim the
-first free slot in the window via a scatter-min arbitration.  All expanded
-tensors keep the point dimension N in the minor (lane) axis.
+A query makes ``max_probes`` row gathers (whole probe window rows), selects
+the fingerprint-matching row elementwise, and unpacks points from lanes — a
+few hundred microseconds per frame instead of tens of milliseconds.
+
+Probe windows are CONTIGUOUS rows ``start .. start+P-1`` with
+``start = min(hash & (C-1), C-P)`` (clamped, not wrapped, so windows never
+straddle the table edge); lookups scan the full window, so in-place eviction
+needs no tombstones.  Inserts claim the first free slot in the window via a
+scatter-min arbitration.
 
 Semantics matched to the reference:
   * first-come-kept voxel blocks (insertion refused when block full),
   * ``GetClosestNeighbor`` scans the 27 voxels around the query's voxel
     (optionally pruned to the nearest ``num_candidate_voxels`` by exact
-    point-to-voxel-box lower bounds — a TPU-side candidate reduction),
+    point-to-voxel-box lower bounds),
   * ``Update(points, pose)`` = transform, insert, evict blocks whose *first*
     stored point is farther than ``max_distance`` from the pose translation.
 """
@@ -50,12 +50,12 @@ import jax.numpy as jnp
 from .points import P3, transform
 from .voxel import SENTINEL, spatial_hash_planar
 
-#: key sentinel marking an empty slot (exact-key planes)
-EMPTY = jnp.iinfo(jnp.int32).min
 #: packed-point sentinel marking an unused block entry
 PACKED_SENTINEL = 0xFFFFFFFF
 #: offset quantization steps per voxel edge (10 bits)
 _QUANT = 1024
+#: extra lanes per row: fingerprint + 3 exact key components
+_META_LANES = 4
 
 # second spatial hash (fingerprint); distinct constants from the slot hash
 _F1, _F2, _F3 = 0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D
@@ -68,11 +68,7 @@ _OFFZ = np.tile(np.array([-1, 0, 1], np.int32), 9)
 
 
 class MapState(NamedTuple):
-    kx: jnp.ndarray      # (C,) int32 exact keys
-    ky: jnp.ndarray      # (C,) int32
-    kz: jnp.ndarray      # (C,) int32
-    fp: jnp.ndarray      # (C,) uint32 fingerprints (0 = empty)
-    packed: jnp.ndarray  # (C*K,) uint32 packed point offsets
+    table: jnp.ndarray   # (C, K + 4) uint32
     counts: jnp.ndarray  # (C,) int32
 
     @property
@@ -81,15 +77,15 @@ class MapState(NamedTuple):
 
     @property
     def block_size(self):
-        return self.packed.shape[-1] // self.counts.shape[-1]
+        return self.table.shape[-1] - _META_LANES
 
 
 class CandidateSet(NamedTuple):
     """World-frame candidate points per query, from one gather pass.
 
-    Shapes: (K * V, N) with V = number of candidate voxels per query.
-    Reused across GN iterations (the candidate neighborhoods move by
-    millimetres between iterations — see registration.py).
+    Planes of shape (V, N, K) (+ valid); reused across GN iterations (the
+    candidate neighborhoods move by millimetres between iterations — see
+    registration.py).
     """
     x: jnp.ndarray
     y: jnp.ndarray
@@ -115,15 +111,21 @@ def fingerprint(bx, by, bz):
     return h | jnp.uint32(0x80000000)
 
 
+def window_start(bx, by, bz, capacity: int, max_probes: int):
+    """First slot of the probe window (clamped to keep windows contiguous)."""
+    h = (spatial_hash_planar(bx, by, bz)
+         & jnp.uint32(capacity - 1)).astype(jnp.int32)
+    return jnp.minimum(h, capacity - max_probes)
+
+
 def empty(capacity: int, max_points_per_voxel: int, dtype=jnp.float32) -> MapState:
-    del dtype  # packed storage; dtype kept for API compatibility
+    del dtype  # packed storage; kept for API compatibility
+    k = max_points_per_voxel
+    row = np.zeros(k + _META_LANES, np.uint32)
+    row[:k] = PACKED_SENTINEL
     return MapState(
-        kx=jnp.full((capacity,), EMPTY, dtype=jnp.int32),
-        ky=jnp.full((capacity,), EMPTY, dtype=jnp.int32),
-        kz=jnp.full((capacity,), EMPTY, dtype=jnp.int32),
-        fp=jnp.zeros((capacity,), dtype=jnp.uint32),
-        packed=jnp.full((capacity * max_points_per_voxel,), PACKED_SENTINEL,
-                        dtype=jnp.uint32),
+        table=jnp.broadcast_to(jnp.asarray(row),
+                               (capacity, k + _META_LANES)).copy(),
         counts=jnp.zeros((capacity,), dtype=jnp.int32),
     )
 
@@ -137,15 +139,16 @@ def is_empty(m: MapState):
 
 
 def num_voxels(m: MapState):
-    return jnp.sum((m.fp != 0).astype(jnp.int32))
+    k = m.block_size
+    return jnp.sum((m.table[:, k] != 0).astype(jnp.int32))
 
 
 def pack_offsets(p: P3, bx, by, bz, voxel_size: float):
     """World points -> packed 10/10/10-bit in-voxel offsets."""
     inv = _QUANT / voxel_size
-    ox = jnp.clip(((p.x - bx * voxel_size) * inv), 0, _QUANT - 1).astype(jnp.uint32)
-    oy = jnp.clip(((p.y - by * voxel_size) * inv), 0, _QUANT - 1).astype(jnp.uint32)
-    oz = jnp.clip(((p.z - bz * voxel_size) * inv), 0, _QUANT - 1).astype(jnp.uint32)
+    ox = jnp.clip((p.x - bx * voxel_size) * inv, 0, _QUANT - 1).astype(jnp.uint32)
+    oy = jnp.clip((p.y - by * voxel_size) * inv, 0, _QUANT - 1).astype(jnp.uint32)
+    oz = jnp.clip((p.z - bz * voxel_size) * inv, 0, _QUANT - 1).astype(jnp.uint32)
     return ox | (oy << 10) | (oz << 20)
 
 
@@ -165,42 +168,56 @@ def unpack_offsets(words, bx, by, bz, voxel_size: float, dtype=jnp.float32):
 def pointcloud(m: MapState, voxel_size: float):
     """All stored world points + validity mask (LocalMap()/Pointcloud()
     parity).  Returns (P3 of (C*K,), mask (C*K,))."""
-    c, k = m.capacity, m.block_size
-    bx = jnp.repeat(m.kx, k)
-    by = jnp.repeat(m.ky, k)
-    bz = jnp.repeat(m.kz, k)
-    mask = (m.packed != jnp.uint32(PACKED_SENTINEL)) & (bx != EMPTY)
-    pts = unpack_offsets(m.packed, bx, by, bz, voxel_size)
+    k = m.block_size
+    words = m.table[:, :k].reshape(-1)
+    occ = m.table[:, k] != 0
+    bx = jnp.repeat(m.table[:, k + 1].astype(jnp.int32), k)
+    by = jnp.repeat(m.table[:, k + 2].astype(jnp.int32), k)
+    bz = jnp.repeat(m.table[:, k + 3].astype(jnp.int32), k)
+    mask = (words != jnp.uint32(PACKED_SENTINEL)) & jnp.repeat(occ, k)
+    pts = unpack_offsets(words, bx, by, bz, voxel_size)
     return pts, mask
 
 
-def _probe_fp(m: MapState, bx, by, bz, max_probes: int):
-    """Fingerprint probing: (..., N) coords -> (slot, found) via 1-word gathers."""
-    h = spatial_hash_planar(bx, by, bz)
+def _probe_rows(m: MapState, bx, by, bz, max_probes: int):
+    """Gather + select the matching table row per query voxel.
+
+    Args:
+      bx, by, bz: (...,) int32 voxel coord planes (SENTINEL rows never match).
+
+    Returns (row (..., R) uint32, found (...,), slot (...,)).
+    ``max_probes`` whole-window row gathers; fingerprint-matching rows are
+    combined elementwise (exact-key confirmation included — one fused
+    compare on the key lanes, basically free once the row is loaded).
+    """
+    k = m.block_size
+    start = window_start(bx, by, bz, m.capacity, max_probes)
     fpq = fingerprint(bx, by, bz)
-    probes = jnp.arange(max_probes, dtype=jnp.uint32).reshape(
-        (max_probes,) + (1,) * h.ndim)
-    slots = ((h[None] + probes)
-             & jnp.uint32(m.capacity - 1)).astype(jnp.int32)      # (P, ..., N)
-    match = (m.fp[slots] == fpq[None]) & (bx[None] != SENTINEL)
-    found = jnp.any(match, axis=0)
-    first = jnp.argmax(match, axis=0)
-    slot = jnp.take_along_axis(slots, first[None], axis=0)[0]
-    return slot, found
+    valid_q = bx != SENTINEL
+
+    row = jnp.zeros(bx.shape + (m.table.shape[-1],), jnp.uint32)
+    found = jnp.zeros(bx.shape, bool)
+    slot = jnp.zeros(bx.shape, jnp.int32)
+    ukx = bx.astype(jnp.uint32)
+    uky = by.astype(jnp.uint32)
+    ukz = bz.astype(jnp.uint32)
+    for p in range(max_probes):
+        cand = start + p
+        rows_p = m.table[cand]                                   # (..., R)
+        hit = ((rows_p[..., k] == fpq)
+               & (rows_p[..., k + 1] == ukx)
+               & (rows_p[..., k + 2] == uky)
+               & (rows_p[..., k + 3] == ukz)
+               & valid_q & ~found)
+        row = jnp.where(hit[..., None], rows_p, row)
+        slot = jnp.where(hit, cand, slot)
+        found = found | hit
+    return row, found, slot
 
 
 def find_slots(m: MapState, bx, by, bz, max_probes: int):
-    """Exact-key lookup (3-word gathers) — used by insert and tests."""
-    h = spatial_hash_planar(bx, by, bz)
-    probes = jnp.arange(max_probes, dtype=jnp.uint32).reshape(
-        (max_probes,) + (1,) * h.ndim)
-    slots = ((h[None] + probes)
-             & jnp.uint32(m.capacity - 1)).astype(jnp.int32)
-    match = ((m.kx[slots] == bx[None]) & (m.ky[slots] == by[None])
-             & (m.kz[slots] == bz[None]) & (bx[None] != SENTINEL))
-    found = jnp.any(match, axis=0)
-    first = jnp.argmax(match, axis=0)
-    slot = jnp.take_along_axis(slots, first[None], axis=0)[0]
+    """Exact-key lookup. Returns (slot, found); slot arbitrary if not found."""
+    _, found, slot = _probe_rows(m, bx, by, bz, max_probes)
     return slot, found
 
 
@@ -230,10 +247,9 @@ def gather_candidates(m: MapState, q: P3, voxel_size: float, max_probes: int,
         box bound makes smaller V a principled approximation: a voxel can
         only be skipped in favor of voxels that are geometrically closer).
 
-    Returns a CandidateSet of (K*V, N) world points + validity.
+    Returns a CandidateSet of (V, N, K) world-point planes + validity.
     """
     k = m.block_size
-    n = q.x.shape[0]
     v = num_candidate_voxels
     inv = 1.0 / voxel_size
     bx = jnp.floor(q.x * inv).astype(jnp.int32)[None, :] + _OFFX[:, None]
@@ -248,17 +264,13 @@ def gather_candidates(m: MapState, q: P3, voxel_size: float, max_probes: int,
         by = jnp.take_along_axis(by, sel, axis=0)
         bz = jnp.take_along_axis(bz, sel, axis=0)
 
-    slot, found = _probe_fp(m, bx, by, bz, max_probes)            # (V, N)
+    row, found, _ = _probe_rows(m, bx, by, bz, max_probes)        # (V, N, R)
 
-    ks = jnp.arange(k, dtype=jnp.int32)[:, None, None]
-    flat = slot[None] * k + ks                                    # (K, V, N)
-    words = m.packed[flat]
-    valid = (words != jnp.uint32(PACKED_SENTINEL)) & found[None]
-    pts = unpack_offsets(words, bx[None], by[None], bz[None], voxel_size,
-                         q.x.dtype)
-    return CandidateSet(
-        x=pts.x.reshape(k * v, n), y=pts.y.reshape(k * v, n),
-        z=pts.z.reshape(k * v, n), valid=valid.reshape(k * v, n))
+    words = row[..., :k]                                          # (V, N, K)
+    valid = (words != jnp.uint32(PACKED_SENTINEL)) & found[..., None]
+    pts = unpack_offsets(words, bx[..., None], by[..., None], bz[..., None],
+                         voxel_size, q.x.dtype)
+    return CandidateSet(x=pts.x, y=pts.y, z=pts.z, valid=valid)
 
 
 def nn_from_candidates(cand: CandidateSet, q: P3, query_mask):
@@ -266,17 +278,22 @@ def nn_from_candidates(cand: CandidateSet, q: P3, query_mask):
 
     Returns (P3 neighbors (N,), dist (N,)); inf distance when no candidate.
     """
-    dx = cand.x - q.x[None]
-    dy = cand.y - q.y[None]
-    dz = cand.z - q.z[None]
+    v, n, k = cand.x.shape
+    dx = cand.x - q.x[None, :, None]
+    dy = cand.y - q.y[None, :, None]
+    dz = cand.z - q.z[None, :, None]
     d2 = dx * dx + dy * dy + dz * dz
     d2 = jnp.where(cand.valid, d2, jnp.inf)
-    idx = jnp.argmin(d2, axis=0)                                  # (N,)
-    best_d2 = jnp.take_along_axis(d2, idx[None], axis=0)[0]
-    nearest = P3(
-        jnp.take_along_axis(cand.x, idx[None], axis=0)[0],
-        jnp.take_along_axis(cand.y, idx[None], axis=0)[0],
-        jnp.take_along_axis(cand.z, idx[None], axis=0)[0])
+    # reduce over (V, K): bring N to the lane axis as (V*K, N)
+    d2f = jnp.moveaxis(d2, 1, 2).reshape(v * k, n)
+    idx = jnp.argmin(d2f, axis=0)                                 # (N,)
+    best_d2 = jnp.take_along_axis(d2f, idx[None], axis=0)[0]
+
+    def pick(plane):
+        pf = jnp.moveaxis(plane, 1, 2).reshape(v * k, n)
+        return jnp.take_along_axis(pf, idx[None], axis=0)[0]
+
+    nearest = P3(pick(cand.x), pick(cand.y), pick(cand.z))
     dist = jnp.where(query_mask, jnp.sqrt(best_d2), jnp.inf)
     return nearest, dist
 
@@ -317,24 +334,18 @@ def insert(m: MapState, p: P3, mask, voxel_size: float, max_probes: int) -> MapS
         jnp.maximum, jnp.where(head, iota, jnp.int32(-1)))
     rank = iota - head_idx  # position within the group, 0 for the head
 
-    # --- find-or-allocate for group heads (all on (N,) planes) ----------
-    h = spatial_hash_planar(cx, cy, cz)
-    found = jnp.zeros((n,), bool)
-    found_slot = jnp.full((n,), -1, dtype=jnp.int32)
-    for pr in range(max_probes):
-        cand = ((h + jnp.uint32(pr)) & jnp.uint32(capacity - 1)).astype(jnp.int32)
-        hit = ((m.kx[cand] == cx) & (m.ky[cand] == cy) & (m.kz[cand] == cz))
-        found_slot = jnp.where(~found & hit, cand, found_slot)
-        found = found | hit
+    # --- exact find for group heads (P row gathers) ----------------------
+    _, found, found_slot = _probe_rows(m, cx, cy, cz, max_probes)
     found = found & head
 
-    kx_t, ky_t, kz_t, fp_t = m.kx, m.ky, m.kz, m.fp
+    table = m.table
+    start = window_start(cx, cy, cz, capacity, max_probes)
     fpq = fingerprint(cx, cy, cz)
     alloc_slot = jnp.full((n,), -1, dtype=jnp.int32)
     pending = head & ~found
     for pr in range(max_probes):
-        cand = ((h + jnp.uint32(pr)) & jnp.uint32(capacity - 1)).astype(jnp.int32)
-        empty_here = fp_t[cand] == 0
+        cand = start + pr
+        empty_here = table[cand, kmax] == 0
         want = pending & empty_here
         # Arbitrate concurrent claims on the same slot: lowest index wins.
         scatter_idx = jnp.where(want, cand, capacity)
@@ -342,10 +353,10 @@ def insert(m: MapState, p: P3, mask, voxel_size: float, max_probes: int) -> MapS
         claim = claim.at[scatter_idx].min(iota, mode="drop")
         winner = want & (claim[cand] == iota)
         wslot = jnp.where(winner, cand, capacity)
-        kx_t = kx_t.at[wslot].set(cx, mode="drop")
-        ky_t = ky_t.at[wslot].set(cy, mode="drop")
-        kz_t = kz_t.at[wslot].set(cz, mode="drop")
-        fp_t = fp_t.at[wslot].set(fpq, mode="drop")
+        table = table.at[wslot, kmax].set(fpq, mode="drop")
+        table = table.at[wslot, kmax + 1].set(cx.astype(jnp.uint32), mode="drop")
+        table = table.at[wslot, kmax + 2].set(cy.astype(jnp.uint32), mode="drop")
+        table = table.at[wslot, kmax + 3].set(cz.astype(jnp.uint32), mode="drop")
         alloc_slot = jnp.where(winner, cand, alloc_slot)
         pending = pending & ~winner
 
@@ -358,11 +369,10 @@ def insert(m: MapState, p: P3, mask, voxel_size: float, max_probes: int) -> MapS
     ok = svalid & (slot_pp >= 0) & (dest_k < kmax)
 
     words = pack_offsets(P3(sx, sy, sz), cx, cy, cz, voxel_size)
-    flat_dest = jnp.where(ok, slot_pp * kmax + dest_k, capacity * kmax)
-    packed_t = m.packed.at[flat_dest].set(words, mode="drop")
+    table = table.at[jnp.where(ok, slot_pp, capacity),
+                     jnp.where(ok, dest_k, 0)].set(words, mode="drop")
     counts_t = m.counts.at[jnp.where(ok, slot_pp, capacity)].add(1, mode="drop")
-    return MapState(kx=kx_t, ky=ky_t, kz=kz_t, fp=fp_t, packed=packed_t,
-                    counts=counts_t)
+    return MapState(table=table, counts=counts_t)
 
 
 def evict_far(m: MapState, origin, max_distance: float, voxel_size: float) -> MapState:
@@ -372,22 +382,21 @@ def evict_far(m: MapState, origin, max_distance: float, voxel_size: float) -> Ma
     strict ``> max_distance^2`` comparison.  Killed blocks reset their packed
     entries to the sentinel so slot reuse never exposes stale points.
     """
-    c, k = m.capacity, m.block_size
-    first_words = m.packed[jnp.arange(c, dtype=jnp.int32) * k]
-    fpt = unpack_offsets(first_words, m.kx, m.ky, m.kz, voxel_size)
+    k = m.block_size
+    first_words = m.table[:, 0]
+    bx = m.table[:, k + 1].astype(jnp.int32)
+    by = m.table[:, k + 2].astype(jnp.int32)
+    bz = m.table[:, k + 3].astype(jnp.int32)
+    fpt = unpack_offsets(first_words, bx, by, bz, voxel_size)
     dx, dy, dz = fpt.x - origin[0], fpt.y - origin[1], fpt.z - origin[2]
     d2 = dx * dx + dy * dy + dz * dz
-    occupied = m.fp != 0
+    occupied = m.table[:, k] != 0
     kill = occupied & (d2 > max_distance * max_distance)
-    kill_pts = jnp.repeat(kill, k)
-    return MapState(
-        kx=jnp.where(kill, EMPTY, m.kx),
-        ky=jnp.where(kill, EMPTY, m.ky),
-        kz=jnp.where(kill, EMPTY, m.kz),
-        fp=jnp.where(kill, 0, m.fp),
-        packed=jnp.where(kill_pts, jnp.uint32(PACKED_SENTINEL), m.packed),
-        counts=jnp.where(kill, 0, m.counts),
-    )
+
+    lane = jnp.arange(m.table.shape[-1], dtype=jnp.int32)
+    reset_row = jnp.where(lane < k, jnp.uint32(PACKED_SENTINEL), jnp.uint32(0))
+    table = jnp.where(kill[:, None], reset_row[None, :], m.table)
+    return MapState(table=table, counts=jnp.where(kill, 0, m.counts))
 
 
 def update(m: MapState, p: P3, mask, pose, voxel_size: float,

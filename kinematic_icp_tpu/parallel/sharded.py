@@ -196,6 +196,13 @@ def sharded_register_frame(state: OdometryState, points, timestamps, mask,
 # Batched + sharded step over a (data, map) mesh
 # ----------------------------------------------------------------------
 
+def _empty_row(k: int):
+    import numpy as _np
+    row = _np.zeros(k + 4, _np.uint32)
+    row[:k] = hashmap.PACKED_SENTINEL
+    return jnp.asarray(row)
+
+
 def init_sharded_state(config: Config, mesh, batch: int,
                        dtype=jnp.float32) -> OdometryState:
     """Batched odometry state with map slots sharded over the mesh.
@@ -219,12 +226,9 @@ def init_sharded_state(config: Config, mesh, batch: int,
     return OdometryState(
         pose=mk(P("data"), (batch, 4, 4), 0, dtype) + jnp.eye(4, dtype=dtype),
         map=hashmap.MapState(
-            kx=mk(P("data", "map"), (batch, c), hashmap.EMPTY, jnp.int32),
-            ky=mk(P("data", "map"), (batch, c), hashmap.EMPTY, jnp.int32),
-            kz=mk(P("data", "map"), (batch, c), hashmap.EMPTY, jnp.int32),
-            fp=mk(P("data", "map"), (batch, c), 0, jnp.uint32),
-            packed=mk(P("data", "map"), (batch, c * k),
-                      hashmap.PACKED_SENTINEL, jnp.uint32),
+            table=jax.jit(
+                lambda: jnp.broadcast_to(_empty_row(k), (batch, c, k + 4)),
+                out_shardings=NamedSharding(mesh, P("data", "map")))(),
             counts=mk(P("data", "map"), (batch, c), 0, jnp.int32),
         ),
         threshold=threshold.ThresholdState(
@@ -266,8 +270,7 @@ def make_sharded_step(config: Config, mesh, donate: bool = True):
     dm = P("data", "map")
     state_specs = OdometryState(
         pose=P("data"),
-        map=hashmap.MapState(kx=dm, ky=dm, kz=dm, fp=dm, packed=dm,
-                             counts=dm),
+        map=hashmap.MapState(table=dm, counts=dm),
         threshold=threshold.ThresholdState(odom_sse=P("data"),
                                            num_samples=P("data")),
     )

@@ -34,9 +34,7 @@ def save_state(path, state: OdometryState, config: Config | None = None,
     np.savez_compressed(
         path,
         pose=np.asarray(state.pose),
-        map_kx=np.asarray(state.map.kx), map_ky=np.asarray(state.map.ky),
-        map_kz=np.asarray(state.map.kz), map_fp=np.asarray(state.map.fp),
-        map_packed=np.asarray(state.map.packed),
+        map_table=np.asarray(state.map.table),
         map_counts=np.asarray(state.map.counts),
         threshold_sse=np.asarray(state.threshold.odom_sse),
         threshold_n=np.asarray(state.threshold.num_samples),
@@ -54,9 +52,7 @@ def load_state(path):
         state = OdometryState(
             pose=jnp.asarray(z["pose"]),
             map=hashmap.MapState(
-                kx=jnp.asarray(z["map_kx"]), ky=jnp.asarray(z["map_ky"]),
-                kz=jnp.asarray(z["map_kz"]), fp=jnp.asarray(z["map_fp"]),
-                packed=jnp.asarray(z["map_packed"]),
+                table=jnp.asarray(z["map_table"]),
                 counts=jnp.asarray(z["map_counts"])),
             threshold=threshold.ThresholdState(
                 odom_sse=jnp.asarray(z["threshold_sse"]),

@@ -73,8 +73,9 @@ def export_map_debug(server, out_prefix: str):
     cloud = server.local_map_pointcloud()
     write_ply(out_prefix + "_local_map.ply", cloud, color=(120, 180, 255))
     m = server.state.map
-    occ = np.asarray(m.fp) != 0
-    coords = np.stack([np.asarray(m.kx)[occ], np.asarray(m.ky)[occ],
-                       np.asarray(m.kz)[occ]], axis=-1)
+    k = m.block_size
+    tab = np.asarray(m.table)
+    occ = tab[:, k] != 0
+    coords = tab[occ, k + 1:k + 4].astype(np.int64).astype(np.int32)
     write_voxel_grid_ply(out_prefix + "_voxel_grid.ply", coords,
                          server.config.voxel_size)

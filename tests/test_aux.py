@@ -97,8 +97,8 @@ class TestCheckpoint:
         restored, meta = load_state(path)
         assert meta["extra"]["frame"] == 1
         assert load_config(meta) == cfg
-        np.testing.assert_array_equal(np.asarray(restored.map.packed),
-                                      np.asarray(state.map.packed))
+        np.testing.assert_array_equal(np.asarray(restored.map.table),
+                                      np.asarray(state.map.table))
         np.testing.assert_allclose(np.asarray(restored.pose),
                                    np.asarray(state.pose))
         # restored state continues running
