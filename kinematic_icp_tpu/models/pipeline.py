@@ -80,7 +80,8 @@ def register_frame(state: OdometryState, points, timestamps, mask,
     # Deskew happens in the lidar frame: conjugate the base-frame odometry by
     # the extrinsic (KinematicICP.cpp:53-55).
     ext_inv = se3.inverse(lidar_to_base)
-    rel_odom_in_lidar = ext_inv @ relative_odometry @ lidar_to_base
+    rel_odom_in_lidar = se3.compose44(
+        se3.compose44(ext_inv, relative_odometry), lidar_to_base)
 
     if config.deskew:
         frame, frame_mask = preprocessing.preprocess(
@@ -120,8 +121,8 @@ def register_frame(state: OdometryState, points, timestamps, mask,
         exact_gn_reassociation=config.exact_gn_reassociation)
 
     # odometry_error = (last * rel_odom)^-1 * new  (KinematicICP.cpp:75).
-    prediction = state.pose @ relative_odometry
-    odometry_error = se3.inverse(prediction) @ new_pose
+    prediction = se3.compose44(state.pose, relative_odometry)
+    odometry_error = se3.compose44(se3.inverse(prediction), new_pose)
 
     new_threshold = threshold.update_odometry_error(
         state.threshold, odometry_error,

@@ -198,6 +198,7 @@ def _probe_rows(m: MapState, bx, by, bz, max_probes: int):
     row = jnp.zeros(bx.shape + (m.table.shape[-1],), jnp.uint32)
     found = jnp.zeros(bx.shape, bool)
     slot = jnp.zeros(bx.shape, jnp.int32)
+    win_empty = []
     ukx = bx.astype(jnp.uint32)
     uky = by.astype(jnp.uint32)
     ukz = bz.astype(jnp.uint32)
@@ -212,12 +213,13 @@ def _probe_rows(m: MapState, bx, by, bz, max_probes: int):
         row = jnp.where(hit[..., None], rows_p, row)
         slot = jnp.where(hit, cand, slot)
         found = found | hit
-    return row, found, slot
+        win_empty.append(rows_p[..., k] == 0)
+    return row, found, slot, win_empty
 
 
 def find_slots(m: MapState, bx, by, bz, max_probes: int):
     """Exact-key lookup. Returns (slot, found); slot arbitrary if not found."""
-    _, found, slot = _probe_rows(m, bx, by, bz, max_probes)
+    _, found, slot, _ = _probe_rows(m, bx, by, bz, max_probes)
     return slot, found
 
 
@@ -257,14 +259,24 @@ def gather_candidates(m: MapState, q: P3, voxel_size: float, max_probes: int,
     bz = jnp.floor(q.z * inv).astype(jnp.int32)[None, :] + _OFFZ[:, None]
 
     if v < 27:
-        # Select the V nearest voxels by box lower bound (elementwise only).
+        # Select the V nearest voxels by box lower bound.  The offset index
+        # rides in the low 5 bits of the bitcast distance key, so this is a
+        # single-operand u32 sort over the 27-row axis — element gathers
+        # (argsort + take_along_axis) measured ~30x slower here.
         lb = _box_lower_bound_d2(q, bx, by, bz, voxel_size)       # (27, N)
-        sel = jnp.argsort(lb, axis=0)[:v]                          # (V, N)
-        bx = jnp.take_along_axis(bx, sel, axis=0)
-        by = jnp.take_along_axis(by, sel, axis=0)
-        bz = jnp.take_along_axis(bz, sel, axis=0)
+        key = (jax.lax.bitcast_convert_type(lb, jnp.uint32)
+               & jnp.uint32(0xFFFFFFE0))
+        key = key | jnp.arange(27, dtype=jnp.uint32)[:, None]
+        key = jax.lax.sort(key, dimension=0)[:v]                  # (V, N)
+        idx = (key & jnp.uint32(31)).astype(jnp.int32)            # offset id
+        base_x = jnp.floor(q.x * inv).astype(jnp.int32)
+        base_y = jnp.floor(q.y * inv).astype(jnp.int32)
+        base_z = jnp.floor(q.z * inv).astype(jnp.int32)
+        bx = base_x[None, :] + idx // 9 - 1
+        by = base_y[None, :] + (idx // 3) % 3 - 1
+        bz = base_z[None, :] + idx % 3 - 1
 
-    row, found, _ = _probe_rows(m, bx, by, bz, max_probes)        # (V, N, R)
+    row, found, _, _ = _probe_rows(m, bx, by, bz, max_probes)     # (V, N, R)
 
     words = row[..., :k]                                          # (V, N, K)
     valid = (words != jnp.uint32(PACKED_SENTINEL)) & found[..., None]
@@ -274,7 +286,11 @@ def gather_candidates(m: MapState, q: P3, voxel_size: float, max_probes: int,
 
 
 def nn_from_candidates(cand: CandidateSet, q: P3, query_mask):
-    """Closest candidate per query (elementwise + one tiny gather).
+    """Closest candidate per query — pure elementwise + axis reductions.
+
+    No argmin/take_along_axis (element gathers, ~10 ns/element on TPU): the
+    winner is selected by a one-hot masked sum, tie-broken by lowest
+    (voxel, entry) linear index to match a first-minimum scan.
 
     Returns (P3 neighbors (N,), dist (N,)); inf distance when no candidate.
     """
@@ -284,16 +300,16 @@ def nn_from_candidates(cand: CandidateSet, q: P3, query_mask):
     dz = cand.z - q.z[None, :, None]
     d2 = dx * dx + dy * dy + dz * dz
     d2 = jnp.where(cand.valid, d2, jnp.inf)
-    # reduce over (V, K): bring N to the lane axis as (V*K, N)
-    d2f = jnp.moveaxis(d2, 1, 2).reshape(v * k, n)
-    idx = jnp.argmin(d2f, axis=0)                                 # (N,)
-    best_d2 = jnp.take_along_axis(d2f, idx[None], axis=0)[0]
 
-    def pick(plane):
-        pf = jnp.moveaxis(plane, 1, 2).reshape(v * k, n)
-        return jnp.take_along_axis(pf, idx[None], axis=0)[0]
-
-    nearest = P3(pick(cand.x), pick(cand.y), pick(cand.z))
+    best_d2 = jnp.min(d2, axis=(0, 2))                            # (N,)
+    lin = (jax.lax.broadcasted_iota(jnp.int32, (v, n, k), 0) * k
+           + jax.lax.broadcasted_iota(jnp.int32, (v, n, k), 2))
+    is_best = d2 == best_d2[None, :, None]
+    first = jnp.min(jnp.where(is_best, lin, jnp.int32(v * k)), axis=(0, 2))
+    pick = is_best & (lin == first[None, :, None])
+    nearest = P3(jnp.sum(jnp.where(pick, cand.x, 0.0), axis=(0, 2)),
+                 jnp.sum(jnp.where(pick, cand.y, 0.0), axis=(0, 2)),
+                 jnp.sum(jnp.where(pick, cand.z, 0.0), axis=(0, 2)))
     dist = jnp.where(query_mask, jnp.sqrt(best_d2), jnp.inf)
     return nearest, dist
 
@@ -305,14 +321,27 @@ def nearest_neighbor(m: MapState, q: P3, query_mask, voxel_size: float,
     return nn_from_candidates(cand, q, query_mask)
 
 
-def insert(m: MapState, p: P3, mask, voxel_size: float, max_probes: int) -> MapState:
+def insert(m: MapState, p: P3, mask, voxel_size: float, max_probes: int,
+           max_alloc_rounds: int | None = None) -> MapState:
     """AddPoints: insert world-frame points, first-come-kept per voxel block.
 
-    Points are grouped by voxel (stable lexicographic sort), each group's
-    head does exact find-or-allocate, then members append to the block until
-    max_points_per_voxel; the remainder is refused — matching the
-    reference's ``VoxelBlock::AddPoint`` capacity gate.
+    Points are grouped by voxel (stable lexicographic sort); each group's
+    head finds-or-allocates a slot, then the whole block row (packed words +
+    fingerprint + exact key) is rebuilt elementwise and written with ONE
+    row scatter — per-round table column writes and per-point element
+    scatters are the two dominant scatter costs this layout eliminates.
+    Appends stop at max_points_per_voxel, matching the reference's
+    ``VoxelBlock::AddPoint`` capacity gate.
+
+    Allocation arbitration: heads target their k-th empty window position
+    (from one snapshot of window occupancy) and race via a persistent
+    scatter-min claim array; losers advance to their next empty position
+    for up to ``max_alloc_rounds`` rounds.  At the <1-5% load factors this
+    table runs at, two rounds make allocation failure vanishingly rare (a
+    failed voxel is simply retried on the next frame's insert).
     """
+    if max_alloc_rounds is None:
+        max_alloc_rounds = max_probes
     capacity, kmax = m.capacity, m.block_size
     n = p.x.shape[0]
     inv = 1.0 / voxel_size
@@ -320,59 +349,92 @@ def insert(m: MapState, p: P3, mask, voxel_size: float, max_probes: int) -> MapS
     cy = jnp.where(mask, jnp.floor(p.y * inv).astype(jnp.int32), SENTINEL)
     cz = jnp.where(mask, jnp.floor(p.z * inv).astype(jnp.int32), SENTINEL)
 
-    # Group by voxel: stable lexicographic sort keeps input order per group.
+    # Group by voxel: stable lexicographic sort keeps input order per group;
+    # invalid points (SENTINEL keys) sort to a contiguous tail.
     cx, cy, cz, sx, sy, sz = jax.lax.sort(
         (cx, cy, cz, p.x, p.y, p.z), num_keys=3, is_stable=True)
     svalid = cx != SENTINEL
+    nvalid = jnp.sum(svalid).astype(jnp.int32)
 
     head = ((cx != jnp.roll(cx, 1)) | (cy != jnp.roll(cy, 1))
             | (cz != jnp.roll(cz, 1)))
     head = head.at[0].set(True) & svalid
 
     iota = jnp.arange(n, dtype=jnp.int32)
-    head_idx = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(head, iota, jnp.int32(-1)))
-    rank = iota - head_idx  # position within the group, 0 for the head
+    # Position of the next head after i (n if none): bounds each group.
+    nxt_src = jnp.concatenate([jnp.where(head, iota, n)[1:],
+                               jnp.full((1,), n, jnp.int32)])
+    nxt = jnp.flip(jax.lax.associative_scan(jnp.minimum, jnp.flip(nxt_src)))
 
-    # --- exact find for group heads (P row gathers) ----------------------
-    _, found, found_slot = _probe_rows(m, cx, cy, cz, max_probes)
+    # --- exact find for group heads (the only gathers in this function) --
+    row, found, found_slot, win_empty = _probe_rows(m, cx, cy, cz, max_probes)
     found = found & head
 
-    table = m.table
+    # --- allocate slots for new voxels (no table writes) -----------------
     start = window_start(cx, cy, cz, capacity, max_probes)
     fpq = fingerprint(cx, cy, cz)
+    claim = jnp.full((capacity,), (max_alloc_rounds + 1) * n, dtype=jnp.int32)
     alloc_slot = jnp.full((n,), -1, dtype=jnp.int32)
+    attempts = jnp.zeros((n,), jnp.int32)
     pending = head & ~found
-    for pr in range(max_probes):
-        cand = start + pr
-        empty_here = table[cand, kmax] == 0
-        want = pending & empty_here
-        # Arbitrate concurrent claims on the same slot: lowest index wins.
-        scatter_idx = jnp.where(want, cand, capacity)
-        claim = jnp.full((capacity,), n, dtype=jnp.int32)
-        claim = claim.at[scatter_idx].min(iota, mode="drop")
-        winner = want & (claim[cand] == iota)
-        wslot = jnp.where(winner, cand, capacity)
-        table = table.at[wslot, kmax].set(fpq, mode="drop")
-        table = table.at[wslot, kmax + 1].set(cx.astype(jnp.uint32), mode="drop")
-        table = table.at[wslot, kmax + 2].set(cy.astype(jnp.uint32), mode="drop")
-        table = table.at[wslot, kmax + 3].set(cz.astype(jnp.uint32), mode="drop")
+    for rnd in range(max_alloc_rounds):
+        # Target = the attempts-th empty position in this head's window
+        # (occupancy snapshot from the find pass; slots filled by other
+        # heads THIS call are excluded by the persistent claim array).
+        tgt = jnp.full((n,), max_probes, jnp.int32)
+        cnt = jnp.zeros((n,), jnp.int32)
+        for pp in range(max_probes):
+            take = win_empty[pp] & (cnt == attempts) & (tgt == max_probes)
+            tgt = jnp.where(take, pp, tgt)
+            cnt = cnt + win_empty[pp]
+        trying = pending & (tgt < max_probes)
+        cand = start + jnp.minimum(tgt, max_probes - 1)
+        # Claim key = round * n + index: an earlier-round winner always
+        # outranks later claimants (its slot can never be stolen), and ties
+        # within a round go to the lowest point index.
+        key = rnd * n + iota
+        claim = claim.at[jnp.where(trying, cand, capacity)].min(
+            key, mode="drop")
+        winner = trying & (claim[cand] == key)
         alloc_slot = jnp.where(winner, cand, alloc_slot)
         pending = pending & ~winner
+        attempts = attempts + trying.astype(jnp.int32)
 
     head_slot = jnp.where(found, found_slot, alloc_slot)          # -1 if failed
-    slot_pp = jnp.where(head_idx >= 0, head_slot[jnp.maximum(head_idx, 0)], -1)
 
-    # --- append to blocks up to capacity --------------------------------
-    base_count = jnp.where(slot_pp >= 0, m.counts[jnp.maximum(slot_pp, 0)], kmax)
-    dest_k = base_count + rank
-    ok = svalid & (slot_pp >= 0) & (dest_k < kmax)
+    # --- rebuild each head's full row elementwise ------------------------
+    # Existing words (sentinel row for fresh allocations); block fill level
+    # derives from the words themselves (blocks fill contiguously).
+    existing = jnp.where(found[:, None], row[:, :kmax],
+                         jnp.uint32(PACKED_SENTINEL))              # (n, K)
+    base = jnp.sum((existing != jnp.uint32(PACKED_SENTINEL)),
+                   axis=-1).astype(jnp.int32)                      # (n,)
 
-    words = pack_offsets(P3(sx, sy, sz), cx, cy, cz, voxel_size)
-    table = table.at[jnp.where(ok, slot_pp, capacity),
-                     jnp.where(ok, dest_k, 0)].set(words, mode="drop")
-    counts_t = m.counts.at[jnp.where(ok, slot_pp, capacity)].add(1, mode="drop")
-    return MapState(table=table, counts=counts_t)
+    words = pack_offsets(P3(sx, sy, sz), cx, cy, cz, voxel_size)   # (n,)
+    padded = jnp.concatenate(
+        [words, jnp.full((kmax,), PACKED_SENTINEL, jnp.uint32)])
+    # W_s[i] = packed word of the s-th member of the group headed at i.
+    lim = jnp.minimum(nxt, nvalid)          # first index past head i's group
+    lanes = []
+    for j in range(kmax):
+        lane = existing[:, j]
+        for s in range(j + 1):
+            take = (base == j - s) & (iota + s < lim)
+            lane = jnp.where(take, padded[s:s + n], lane)
+        lanes.append(lane)
+    appended = jnp.clip(lim - iota, 0, kmax) \
+        .astype(jnp.int32)                  # valid members (pre-capacity)
+    new_count = jnp.minimum(base + appended, kmax)
+
+    rows_out = jnp.stack(
+        lanes + [fpq, cx.astype(jnp.uint32), cy.astype(jnp.uint32),
+                 cz.astype(jnp.uint32)], axis=-1)                  # (n, R)
+
+    write = head & (head_slot >= 0)
+    dest = jnp.where(write, head_slot, capacity)
+    table = m.table.at[dest].set(rows_out, mode="drop")
+    counts = m.counts.at[dest].set(new_count, mode="drop")
+    return MapState(table=table, counts=counts)
 
 
 def evict_far(m: MapState, origin, max_distance: float, voxel_size: float) -> MapState:

@@ -26,7 +26,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from . import hashmap, motion_model
+from . import hashmap, motion_model, se3
 from .points import P3, transform
 
 #: reference uses DBL_MIN; a float32-safe tiny value serves the same purpose
@@ -170,7 +170,7 @@ def compute_robot_motion(m: hashmap.MapState, source: P3, source_mask,
     ``exact_gn_reassociation`` restores the reference's full re-gather per
     iteration.  Returns (new_pose (4, 4), RegistrationDebug).
     """
-    guess = last_pose @ relative_wheel_odometry
+    guess = se3.compose44(last_pose, relative_wheel_odometry)
 
     if exact_gn_reassociation:
         def associate(pose):
@@ -201,7 +201,7 @@ def compute_robot_motion(m: hashmap.MapState, source: P3, source_mask,
         pose, targets, corr_mask, it, _ = carry
         dx = compute_perturbation(source, targets, corr_mask, pose, beta)
         delta = motion_model.motion_model(dx)
-        pose = pose @ delta
+        pose = se3.compose44(pose, delta)
         converged = jnp.linalg.norm(dx) < convergence_criterion
         # Re-associate only when the loop will continue (the reference
         # recomputes correspondences at the end of every non-final

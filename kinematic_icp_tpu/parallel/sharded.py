@@ -60,7 +60,7 @@ def _sharded_robot_motion(local_map, source, source_mask, last_pose,
                           relative_odometry, tau, config: Config,
                           axis_name: str):
     """ComputeRobotMotion with map-axis collectives (Registration.cpp:151-190)."""
-    guess = last_pose @ relative_odometry
+    guess = se3.compose44(last_pose, relative_odometry)
 
     if config.exact_gn_reassociation:
         def assoc(pose):
@@ -102,7 +102,7 @@ def _sharded_robot_motion(local_map, source, source_mask, last_pose,
             registration.partial_normal_equations(source, targets, corr_mask, pose),
             axis_name)
         dx = registration.solve_normal_equations(sums, beta)
-        pose = pose @ motion_model.motion_model(dx)
+        pose = se3.compose44(pose, motion_model.motion_model(dx))
         converged = jnp.linalg.norm(dx) < config.convergence_criterion
         targets, corr_mask = jax.lax.cond(
             converged | (it + 1 >= config.max_num_iterations),
@@ -140,7 +140,8 @@ def sharded_register_frame(state: OdometryState, points, timestamps, mask,
     p = P3.from_array(points).astype(dtype)
 
     ext_inv = se3.inverse(lidar_to_base)
-    rel_odom_in_lidar = ext_inv @ relative_odometry @ lidar_to_base
+    rel_odom_in_lidar = se3.compose44(
+        se3.compose44(ext_inv, relative_odometry), lidar_to_base)
 
     if config.deskew:
         frame, frame_mask = preprocessing.preprocess(
@@ -167,8 +168,8 @@ def sharded_register_frame(state: OdometryState, points, timestamps, mask,
         state.map, source, source_mask, state.pose, relative_odometry, tau,
         config, axis_name)
 
-    prediction = state.pose @ relative_odometry
-    odometry_error = se3.inverse(prediction) @ new_pose
+    prediction = se3.compose44(state.pose, relative_odometry)
+    odometry_error = se3.compose44(se3.inverse(prediction), new_pose)
     new_threshold = threshold.update_odometry_error(
         state.threshold, odometry_error,
         max_range=config.max_range, use_adaptive=config.use_adaptive_threshold)
