@@ -64,6 +64,12 @@ class Config:
     #: re-gather candidates on every GN iteration (reference behavior)
     #: instead of re-selecting within per-frame cached candidates
     exact_gn_reassociation: bool = False
+    #: keep only the top-M candidates per voxel (ranked at the initial
+    #: guess) for GN re-selection; 0 (default) keeps all
+    #: max_points_per_voxel.  Measured on synthetic sequences the reduction
+    #: costs more than it saves and degrades ATE (GN pose updates move far
+    #: enough to change NN winners) — available for experimentation only.
+    gn_candidates_per_voxel: int = 0
 
     def __post_init__(self):
         assert self.map_capacity & (self.map_capacity - 1) == 0, (

@@ -81,16 +81,20 @@ class MapState(NamedTuple):
 
 
 class CandidateSet(NamedTuple):
-    """World-frame candidate points per query, from one gather pass.
+    """Candidate map points per query, kept PACKED between GN iterations.
 
-    Planes of shape (V, N, K) (+ valid); reused across GN iterations (the
-    candidate neighborhoods move by millimetres between iterations — see
-    registration.py).
+    ``words`` (V, N, K) uint32 are the stored 10/10/10-bit in-voxel offsets
+    and ``bx/by/bz/found`` (V, N) the voxel coords they unpack against.
+    Keeping candidates packed (4 B/point + 13 B/voxel) instead of three f32
+    planes + valid (16 B/point) cuts the HBM traffic of every GN
+    re-selection pass ~4x; unpacking is a few VPU ops fused into the
+    distance computation.
     """
-    x: jnp.ndarray
-    y: jnp.ndarray
-    z: jnp.ndarray
-    valid: jnp.ndarray
+    words: jnp.ndarray   # (V, N, K) uint32
+    bx: jnp.ndarray      # (V, N) int32
+    by: jnp.ndarray
+    bz: jnp.ndarray
+    found: jnp.ndarray   # (V, N) bool
 
 
 def fingerprint(bx, by, bz):
@@ -277,15 +281,52 @@ def gather_candidates(m: MapState, q: P3, voxel_size: float, max_probes: int,
         bz = base_z[None, :] + idx % 3 - 1
 
     row, found, _, _ = _probe_rows(m, bx, by, bz, max_probes)     # (V, N, R)
-
-    words = row[..., :k]                                          # (V, N, K)
-    valid = (words != jnp.uint32(PACKED_SENTINEL)) & found[..., None]
-    pts = unpack_offsets(words, bx[..., None], by[..., None], bz[..., None],
-                         voxel_size, q.x.dtype)
-    return CandidateSet(x=pts.x, y=pts.y, z=pts.z, valid=valid)
+    return CandidateSet(words=row[..., :k], bx=bx, by=by, bz=bz, found=found)
 
 
-def nn_from_candidates(cand: CandidateSet, q: P3, query_mask):
+def _candidate_points(cand: CandidateSet, voxel_size: float, dtype):
+    """Unpack candidate words -> ((V, N, K) coordinate planes, valid)."""
+    pts = unpack_offsets(cand.words, cand.bx[..., None], cand.by[..., None],
+                         cand.bz[..., None], voxel_size, dtype)
+    valid = ((cand.words != jnp.uint32(PACKED_SENTINEL))
+             & cand.found[..., None])
+    return pts, valid
+
+
+def reduce_candidates(cand: CandidateSet, q: P3, keep: int,
+                      voxel_size: float) -> CandidateSet:
+    """Shrink each voxel's candidate list to its ``keep`` nearest points.
+
+    Distances are evaluated at the query positions ``q`` (the initial-guess
+    pose).  Exact for the first association; later GN iterations may pick a
+    different point only among each voxel's top-``keep``.  Measured on
+    synthetic sequences this trades ATE for little speed — kept as an
+    experimental knob (Config.gn_candidates_per_voxel).
+    """
+    v, n, k = cand.words.shape
+    if keep >= k:
+        return cand
+    pts, valid = _candidate_points(cand, voxel_size, q.x.dtype)
+    dx = pts.x - q.x[None, :, None]
+    dy = pts.y - q.y[None, :, None]
+    dz = pts.z - q.z[None, :, None]
+    cur = jnp.where(valid, dx * dx + dy * dy + dz * dz, jnp.inf)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (v, n, k), 2)
+    outs = []
+    for _ in range(keep):
+        best = jnp.min(cur, axis=2, keepdims=True)
+        first = jnp.min(jnp.where(cur == best, lane, k), axis=2, keepdims=True)
+        pick = lane == first
+        word = jnp.sum(jnp.where(pick, cand.words, jnp.uint32(0)), axis=2)
+        outs.append(jnp.where(jnp.isfinite(best[..., 0]), word,
+                              jnp.uint32(PACKED_SENTINEL)))
+        cur = jnp.where(pick, jnp.inf, cur)
+    return CandidateSet(words=jnp.stack(outs, axis=2), bx=cand.bx,
+                        by=cand.by, bz=cand.bz, found=cand.found)
+
+
+def nn_from_candidates(cand: CandidateSet, q: P3, query_mask,
+                       voxel_size: float):
     """Closest candidate per query — pure elementwise + axis reductions.
 
     No argmin/take_along_axis (element gathers, ~10 ns/element on TPU): the
@@ -294,12 +335,12 @@ def nn_from_candidates(cand: CandidateSet, q: P3, query_mask):
 
     Returns (P3 neighbors (N,), dist (N,)); inf distance when no candidate.
     """
-    v, n, k = cand.x.shape
-    dx = cand.x - q.x[None, :, None]
-    dy = cand.y - q.y[None, :, None]
-    dz = cand.z - q.z[None, :, None]
-    d2 = dx * dx + dy * dy + dz * dz
-    d2 = jnp.where(cand.valid, d2, jnp.inf)
+    v, n, k = cand.words.shape
+    pts, valid = _candidate_points(cand, voxel_size, q.x.dtype)
+    dx = pts.x - q.x[None, :, None]
+    dy = pts.y - q.y[None, :, None]
+    dz = pts.z - q.z[None, :, None]
+    d2 = jnp.where(valid, dx * dx + dy * dy + dz * dz, jnp.inf)
 
     best_d2 = jnp.min(d2, axis=(0, 2))                            # (N,)
     lin = (jax.lax.broadcasted_iota(jnp.int32, (v, n, k), 0) * k
@@ -307,9 +348,9 @@ def nn_from_candidates(cand: CandidateSet, q: P3, query_mask):
     is_best = d2 == best_d2[None, :, None]
     first = jnp.min(jnp.where(is_best, lin, jnp.int32(v * k)), axis=(0, 2))
     pick = is_best & (lin == first[None, :, None])
-    nearest = P3(jnp.sum(jnp.where(pick, cand.x, 0.0), axis=(0, 2)),
-                 jnp.sum(jnp.where(pick, cand.y, 0.0), axis=(0, 2)),
-                 jnp.sum(jnp.where(pick, cand.z, 0.0), axis=(0, 2)))
+    nearest = P3(jnp.sum(jnp.where(pick, pts.x, 0.0), axis=(0, 2)),
+                 jnp.sum(jnp.where(pick, pts.y, 0.0), axis=(0, 2)),
+                 jnp.sum(jnp.where(pick, pts.z, 0.0), axis=(0, 2)))
     dist = jnp.where(query_mask, jnp.sqrt(best_d2), jnp.inf)
     return nearest, dist
 
@@ -318,7 +359,7 @@ def nearest_neighbor(m: MapState, q: P3, query_mask, voxel_size: float,
                      max_probes: int, num_candidate_voxels: int = 27):
     """Batched GetClosestNeighbor over the (possibly pruned) neighborhood."""
     cand = gather_candidates(m, q, voxel_size, max_probes, num_candidate_voxels)
-    return nn_from_candidates(cand, q, query_mask)
+    return nn_from_candidates(cand, q, query_mask, voxel_size)
 
 
 def insert(m: MapState, p: P3, mask, voxel_size: float, max_probes: int,
@@ -373,14 +414,14 @@ def insert(m: MapState, p: P3, mask, voxel_size: float, max_probes: int,
     # --- allocate slots for new voxels (no table writes) -----------------
     start = window_start(cx, cy, cz, capacity, max_probes)
     fpq = fingerprint(cx, cy, cz)
-    claim = jnp.full((capacity,), (max_alloc_rounds + 1) * n, dtype=jnp.int32)
     alloc_slot = jnp.full((n,), -1, dtype=jnp.int32)
     attempts = jnp.zeros((n,), jnp.int32)
     pending = head & ~found
-    for rnd in range(max_alloc_rounds):
+    for _ in range(max_alloc_rounds):
         # Target = the attempts-th empty position in this head's window
         # (occupancy snapshot from the find pass; slots filled by other
-        # heads THIS call are excluded by the persistent claim array).
+        # heads THIS call are excluded because every prior winner keeps
+        # asserting its slot in the arbitration sort below).
         tgt = jnp.full((n,), max_probes, jnp.int32)
         cnt = jnp.zeros((n,), jnp.int32)
         for pp in range(max_probes):
@@ -389,13 +430,20 @@ def insert(m: MapState, p: P3, mask, voxel_size: float, max_probes: int,
             cnt = cnt + win_empty[pp]
         trying = pending & (tgt < max_probes)
         cand = start + jnp.minimum(tgt, max_probes - 1)
-        # Claim key = round * n + index: an earlier-round winner always
-        # outranks later claimants (its slot can never be stolen), and ties
-        # within a round go to the lowest point index.
-        key = rnd * n + iota
-        claim = claim.at[jnp.where(trying, cand, capacity)].min(
-            key, mode="drop")
-        winner = trying & (claim[cand] == key)
+        # Sort-based arbitration (no hash-table-sized scatter/gather):
+        # rows sort by (slot, priority); the first row of each slot run
+        # wins.  Prior winners participate with priority -1 so their slots
+        # can never be stolen; ties within a round go to the lowest index.
+        owner = alloc_slot >= 0
+        k1 = jnp.where(owner, alloc_slot,
+                       jnp.where(trying, cand, capacity))
+        k2 = jnp.where(owner, jnp.int32(-1), iota)
+        s1, _, pay = jax.lax.sort((k1, k2, iota), num_keys=2)
+        prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s1[:-1]])
+        first = (s1 != prev) & (s1 < capacity)
+        # Route the win flags back to input order with one more sort.
+        _, win_flag = jax.lax.sort((pay, first.astype(jnp.int32)), num_keys=1)
+        winner = trying & (win_flag == 1)
         alloc_slot = jnp.where(winner, cand, alloc_slot)
         pending = pending & ~winner
         attempts = attempts + trying.astype(jnp.int32)

@@ -54,7 +54,7 @@ def data_association(m: hashmap.MapState, source: P3, source_mask, pose,
 
 
 def associate_from_candidates(cand, source: P3, source_mask, pose,
-                              max_correspondence_distance):
+                              max_correspondence_distance, voxel_size: float):
     """Re-associate against a cached CandidateSet (elementwise only).
 
     The candidate neighborhoods were gathered at the initial-guess pose;
@@ -64,7 +64,8 @@ def associate_from_candidates(cand, source: P3, source_mask, pose,
     reference's re-gather-every-iteration behavior.
     """
     world = transform(pose, source)
-    targets, dist = hashmap.nn_from_candidates(cand, world, source_mask)
+    targets, dist = hashmap.nn_from_candidates(cand, world, source_mask,
+                                               voxel_size)
     corr_mask = source_mask & (dist < max_correspondence_distance)
     return targets, corr_mask
 
@@ -162,7 +163,8 @@ def compute_robot_motion(m: hashmap.MapState, source: P3, source_mask,
                          use_adaptive_odometry_regularization: bool,
                          fixed_regularization: float,
                          num_candidate_voxels: int = 27,
-                         exact_gn_reassociation: bool = False):
+                         exact_gn_reassociation: bool = False,
+                         gn_candidates_per_voxel: int = 0):
     """Full ComputeRobotMotion (Registration.cpp:151-190).
 
     By default candidate map points are gathered ONCE at the initial guess
@@ -178,13 +180,17 @@ def compute_robot_motion(m: hashmap.MapState, source: P3, source_mask,
                 m, source, source_mask, pose, max_correspondence_distance,
                 voxel_size, max_probes, num_candidate_voxels)
     else:
+        world_guess = transform(guess, source)
         cand = hashmap.gather_candidates(
-            m, transform(guess, source), voxel_size, max_probes,
-            num_candidate_voxels)
+            m, world_guess, voxel_size, max_probes, num_candidate_voxels)
+        if gn_candidates_per_voxel:
+            cand = hashmap.reduce_candidates(
+                cand, world_guess, gn_candidates_per_voxel, voxel_size)
 
         def associate(pose):
             return associate_from_candidates(
-                cand, source, source_mask, pose, max_correspondence_distance)
+                cand, source, source_mask, pose, max_correspondence_distance,
+                voxel_size)
 
     targets, corr_mask = associate(guess)
 

@@ -80,14 +80,18 @@ def voxel_downsample(p: P3, mask, voxel_size: float, out_size: int):
             | (cz != jnp.roll(cz, 1)))
     head = head.at[0].set(True) & valid
 
-    # Compact heads into the output buffer.
-    pos = jnp.cumsum(head) - 1
-    dest = jnp.where(head, pos, out_size)  # out-of-range => dropped
-    out = P3(
-        jnp.zeros((out_size,), p.x.dtype).at[dest].set(sx, mode="drop"),
-        jnp.zeros((out_size,), p.x.dtype).at[dest].set(sy, mode="drop"),
-        jnp.zeros((out_size,), p.x.dtype).at[dest].set(sz, mode="drop"),
-    )
+    # Compact heads to the front with one more sort (element scatters cost
+    # ~10 ns each on TPU; a 4-operand 8K sort is ~an order cheaper).  The
+    # key is the sorted position for heads, so head order is preserved.
+    n = cx.shape[0]
+    key = jnp.where(head, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
+    _, ox, oy, oz = jax.lax.sort((key, sx, sy, sz), num_keys=1)
+    if out_size <= n:
+        out = P3(ox[:out_size], oy[:out_size], oz[:out_size])
+    else:
+        pad = out_size - n
+        out = P3(*(jnp.concatenate([a, jnp.zeros((pad,), a.dtype)])
+                   for a in (ox, oy, oz)))
     num_kept = jnp.minimum(jnp.sum(head), out_size)
     out_mask = jnp.arange(out_size) < num_kept
     return out, out_mask

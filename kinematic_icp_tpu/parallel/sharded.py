@@ -73,13 +73,19 @@ def _sharded_robot_motion(local_map, source, source_mask, last_pose,
         # One gather pass per frame against this shard's slots; GN
         # iterations re-select among cached candidates (gather-free) and
         # combine winners across the map axis.
+        world_guess = transform(guess, source)
         cand = hashmap.gather_candidates(
-            local_map, transform(guess, source), config.voxel_size,
+            local_map, world_guess, config.voxel_size,
             config.max_probes, config.neighbor_candidates)
+        if config.gn_candidates_per_voxel:
+            cand = hashmap.reduce_candidates(
+                cand, world_guess, config.gn_candidates_per_voxel,
+                config.voxel_size)
 
         def assoc(pose):
             world = transform(pose, source)
-            tgt, dist = hashmap.nn_from_candidates(cand, world, source_mask)
+            tgt, dist = hashmap.nn_from_candidates(cand, world, source_mask,
+                                                   config.voxel_size)
             return _combine_local_nn(tgt, dist, source_mask, tau, axis_name)
 
     targets, corr_mask = assoc(guess)
