@@ -478,7 +478,11 @@ def insert(m: MapState, p: P3, mask, voxel_size: float, max_probes: int,
         lanes + [fpq, cx.astype(jnp.uint32), cy.astype(jnp.uint32),
                  cz.astype(jnp.uint32)], axis=-1)                  # (n, R)
 
-    write = head & (head_slot >= 0)
+    # Skip rows whose block did not change (existing voxel, all appends
+    # refused by the capacity gate) — in steady state most revisited voxels
+    # are full, and dropped scatter indices cost no HBM writes.
+    changed = ~found | (new_count > base)
+    write = head & (head_slot >= 0) & changed
     dest = jnp.where(write, head_slot, capacity)
     table = m.table.at[dest].set(rows_out, mode="drop")
     counts = m.counts.at[dest].set(new_count, mode="drop")
