@@ -43,7 +43,8 @@ def init_state(config: Config, dtype=jnp.float32,
             else jnp.asarray(initial_pose, dtype=dtype))
     return OdometryState(
         pose=pose,
-        map=hashmap.empty(config.map_capacity, config.max_points_per_voxel, dtype),
+        map=hashmap.empty(config.map_capacity, config.max_points_per_voxel,
+                          dtype, bucket_slots=config.max_probes),
         threshold=threshold.init_state(dtype),
     )
 

@@ -19,15 +19,19 @@ per index) cost ~1-2 ns per ROW.  So one voxel = ONE table row:
     counts: (C,) int32 — insert bookkeeping only (queries use the packed
                        sentinel, not counts)
 
-A query makes ``max_probes`` row gathers (whole probe window rows), selects
-the fingerprint-matching row elementwise, and unpacks points from lanes — a
-few hundred microseconds per frame instead of tens of milliseconds.
+The table is BUCKETIZED: ``G`` (= Config.max_probes) voxel slots share one
+physical row of ``G*R`` lanes (96 lanes at the G=4, K=20 defaults — nearly a
+full 128-lane tile), so a query's whole probe neighborhood is ONE row gather:
 
-Probe windows are CONTIGUOUS rows ``start .. start+P-1`` with
-``start = min(hash & (C-1), C-P)`` (clamped, not wrapped, so windows never
-straddle the table edge); lookups scan the full window, so in-place eviction
-needs no tombstones.  Inserts claim the first free slot in the window via a
-scatter-min arbitration.
+    table:  (B, G*R) uint32 — bucket b, slot g occupies lanes [g*R, (g+1)*R)
+    counts: (B, G) int32    — insert bookkeeping only
+
+``bucket = hash & (B-1)``; a voxel lives in any free slot of its bucket
+(found by elementwise fingerprint compare across the G sub-rows after the
+gather).  Bucket overflow (more than G voxels hashing to one bucket) refuses
+the insert for that frame — vanishingly rare at the <5% load factors this
+map runs at, and retried naturally on later frames.  In-place eviction needs
+no tombstones; inserts arbitrate free slots with a sort-based claim.
 
 Semantics matched to the reference:
   * first-come-kept voxel blocks (insertion refused when block full),
@@ -68,16 +72,25 @@ _OFFZ = np.tile(np.array([-1, 0, 1], np.int32), 9)
 
 
 class MapState(NamedTuple):
-    table: jnp.ndarray   # (C, K + 4) uint32
-    counts: jnp.ndarray  # (C,) int32
+    table: jnp.ndarray   # (B, G * (K + 4)) uint32
+    counts: jnp.ndarray  # (B, G) int32
 
     @property
-    def capacity(self):
+    def num_buckets(self):
+        return self.counts.shape[-2]
+
+    @property
+    def bucket_slots(self):
         return self.counts.shape[-1]
 
     @property
+    def capacity(self):
+        """Total voxel slots (buckets x slots-per-bucket)."""
+        return self.num_buckets * self.bucket_slots
+
+    @property
     def block_size(self):
-        return self.table.shape[-1] - _META_LANES
+        return self.table.shape[-1] // self.counts.shape[-1] - _META_LANES
 
 
 class CandidateSet(NamedTuple):
@@ -115,36 +128,50 @@ def fingerprint(bx, by, bz):
     return h | jnp.uint32(0x80000000)
 
 
-def window_start(bx, by, bz, capacity: int, max_probes: int):
-    """First slot of the probe window (clamped to keep windows contiguous)."""
-    h = (spatial_hash_planar(bx, by, bz)
-         & jnp.uint32(capacity - 1)).astype(jnp.int32)
-    return jnp.minimum(h, capacity - max_probes)
+def bucket_of(bx, by, bz, num_buckets: int):
+    """Bucket row index of a voxel (num_buckets must be a power of two)."""
+    return (spatial_hash_planar(bx, by, bz)
+            & jnp.uint32(num_buckets - 1)).astype(jnp.int32)
 
 
-def empty(capacity: int, max_points_per_voxel: int, dtype=jnp.float32) -> MapState:
+def _empty_row_np(k: int, bucket_slots: int) -> np.ndarray:
+    r = k + _META_LANES
+    row = np.zeros(bucket_slots * r, np.uint32)
+    for g in range(bucket_slots):
+        row[g * r:g * r + k] = PACKED_SENTINEL
+    return row
+
+
+def empty(capacity: int, max_points_per_voxel: int, dtype=jnp.float32,
+          bucket_slots: int = 4) -> MapState:
     del dtype  # packed storage; kept for API compatibility
-    k = max_points_per_voxel
-    row = np.zeros(k + _META_LANES, np.uint32)
-    row[:k] = PACKED_SENTINEL
+    assert capacity % bucket_slots == 0
+    b = capacity // bucket_slots
+    assert b & (b - 1) == 0, "bucket count must be a power of two"
+    row = _empty_row_np(max_points_per_voxel, bucket_slots)
     return MapState(
-        table=jnp.broadcast_to(jnp.asarray(row),
-                               (capacity, k + _META_LANES)).copy(),
-        counts=jnp.zeros((capacity,), dtype=jnp.int32),
+        table=jnp.broadcast_to(jnp.asarray(row), (b, row.shape[0])).copy(),
+        counts=jnp.zeros((b, bucket_slots), dtype=jnp.int32),
     )
 
 
 def clear(m: MapState) -> MapState:
-    return empty(m.capacity, m.block_size)
+    return empty(m.capacity, m.block_size, bucket_slots=m.bucket_slots)
 
 
 def is_empty(m: MapState):
     return ~jnp.any(m.counts > 0)
 
 
+def _fp_lanes(m: MapState):
+    """(B, G) fingerprint lane per slot."""
+    k, r = m.block_size, m.block_size + _META_LANES
+    return jnp.stack([m.table[:, g * r + k] for g in range(m.bucket_slots)],
+                     axis=-1)
+
+
 def num_voxels(m: MapState):
-    k = m.block_size
-    return jnp.sum((m.table[:, k] != 0).astype(jnp.int32))
+    return jnp.sum((_fp_lanes(m) != 0).astype(jnp.int32))
 
 
 def pack_offsets(p: P3, bx, by, bz, voxel_size: float):
@@ -171,51 +198,62 @@ def unpack_offsets(words, bx, by, bz, voxel_size: float, dtype=jnp.float32):
 
 def pointcloud(m: MapState, voxel_size: float):
     """All stored world points + validity mask (LocalMap()/Pointcloud()
-    parity).  Returns (P3 of (C*K,), mask (C*K,))."""
-    k = m.block_size
-    words = m.table[:, :k].reshape(-1)
-    occ = m.table[:, k] != 0
-    bx = jnp.repeat(m.table[:, k + 1].astype(jnp.int32), k)
-    by = jnp.repeat(m.table[:, k + 2].astype(jnp.int32), k)
-    bz = jnp.repeat(m.table[:, k + 3].astype(jnp.int32), k)
-    mask = (words != jnp.uint32(PACKED_SENTINEL)) & jnp.repeat(occ, k)
-    pts = unpack_offsets(words, bx, by, bz, voxel_size)
+    parity).  Returns (P3 of (C*K,), mask (C*K,)); debug/viz path."""
+    k, g = m.block_size, m.bucket_slots
+    r = k + _META_LANES
+    words, occ, bx, by, bz = [], [], [], [], []
+    for gi in range(g):
+        sub = m.table[:, gi * r:(gi + 1) * r]
+        words.append(sub[:, :k].reshape(-1))
+        occ.append(jnp.repeat(sub[:, k] != 0, k))
+        bx.append(jnp.repeat(sub[:, k + 1].astype(jnp.int32), k))
+        by.append(jnp.repeat(sub[:, k + 2].astype(jnp.int32), k))
+        bz.append(jnp.repeat(sub[:, k + 3].astype(jnp.int32), k))
+    words = jnp.concatenate(words)
+    mask = (words != jnp.uint32(PACKED_SENTINEL)) & jnp.concatenate(occ)
+    pts = unpack_offsets(words, jnp.concatenate(bx), jnp.concatenate(by),
+                         jnp.concatenate(bz), voxel_size)
     return pts, mask
 
 
-def _probe_rows(m: MapState, bx, by, bz, max_probes: int):
-    """Gather + select the matching table row per query voxel.
+def _probe_rows(m: MapState, bx, by, bz, max_probes: int = 0):
+    """Gather the bucket + select the matching slot sub-row per query voxel.
 
     Args:
       bx, by, bz: (...,) int32 voxel coord planes (SENTINEL rows never match).
+      max_probes: unused (kept for call-site symmetry) — the probe width is
+        the map's own bucket_slots.
 
-    Returns (row (..., R) uint32, found (...,), slot (...,)).
-    ``max_probes`` whole-window row gathers; fingerprint-matching rows are
-    combined elementwise (exact-key confirmation included — one fused
-    compare on the key lanes, basically free once the row is loaded).
+    Returns (row (..., R) uint32, found (...,), slot (...,), win_empty
+    list of (...,) per sub-slot).  ONE fat-row gather fetches the whole
+    bucket; fingerprint + exact-key matching across the G sub-rows is
+    elementwise on the gathered lanes.
     """
-    k = m.block_size
-    start = window_start(bx, by, bz, m.capacity, max_probes)
+    del max_probes
+    k, g = m.block_size, m.bucket_slots
+    r = k + _META_LANES
+    bucket = bucket_of(bx, by, bz, m.num_buckets)
     fpq = fingerprint(bx, by, bz)
     valid_q = bx != SENTINEL
 
-    row = jnp.zeros(bx.shape + (m.table.shape[-1],), jnp.uint32)
+    fat = m.table[bucket]                                        # (..., G*R)
+
+    row = jnp.zeros(bx.shape + (r,), jnp.uint32)
     found = jnp.zeros(bx.shape, bool)
     slot = jnp.zeros(bx.shape, jnp.int32)
     win_empty = []
     ukx = bx.astype(jnp.uint32)
     uky = by.astype(jnp.uint32)
     ukz = bz.astype(jnp.uint32)
-    for p in range(max_probes):
-        cand = start + p
-        rows_p = m.table[cand]                                   # (..., R)
+    for gi in range(g):
+        rows_p = fat[..., gi * r:(gi + 1) * r]                   # (..., R)
         hit = ((rows_p[..., k] == fpq)
                & (rows_p[..., k + 1] == ukx)
                & (rows_p[..., k + 2] == uky)
                & (rows_p[..., k + 3] == ukz)
                & valid_q & ~found)
         row = jnp.where(hit[..., None], rows_p, row)
-        slot = jnp.where(hit, cand, slot)
+        slot = jnp.where(hit, bucket * g + gi, slot)
         found = found | hit
         win_empty.append(rows_p[..., k] == 0)
     return row, found, slot, win_empty
@@ -385,15 +423,16 @@ def insert(m: MapState, p: P3, mask, voxel_size: float, max_probes: int,
     Appends stop at max_points_per_voxel, matching the reference's
     ``VoxelBlock::AddPoint`` capacity gate.
 
-    Allocation arbitration: heads target their k-th empty window position
-    (from one snapshot of window occupancy) and race via a persistent
-    scatter-min claim array; losers advance to their next empty position
-    for up to ``max_alloc_rounds`` rounds.  At the <1-5% load factors this
-    table runs at, two rounds make allocation failure vanishingly rare (a
-    failed voxel is simply retried on the next frame's insert).
+    Allocation arbitration: heads target their k-th empty slot of their
+    bucket (from one snapshot of bucket occupancy) and race via a
+    sort-based claim; losers advance to their next empty slot for up to
+    ``max_alloc_rounds`` rounds.  At the <1-5% load factors this table runs
+    at, allocation failure is vanishingly rare (a failed voxel is simply
+    retried on the next frame's insert).
     """
+    g = m.bucket_slots
     if max_alloc_rounds is None:
-        max_alloc_rounds = max_probes
+        max_alloc_rounds = g
     capacity, kmax = m.capacity, m.block_size
     n = p.x.shape[0]
     inv = 1.0 / voxel_size
@@ -423,24 +462,24 @@ def insert(m: MapState, p: P3, mask, voxel_size: float, max_probes: int,
     found = found & head
 
     # --- allocate slots for new voxels (no table writes) -----------------
-    start = window_start(cx, cy, cz, capacity, max_probes)
+    bucket = bucket_of(cx, cy, cz, m.num_buckets)
     fpq = fingerprint(cx, cy, cz)
     alloc_slot = jnp.full((n,), -1, dtype=jnp.int32)
     attempts = jnp.zeros((n,), jnp.int32)
     pending = head & ~found
     for _ in range(max_alloc_rounds):
-        # Target = the attempts-th empty position in this head's window
+        # Target = the attempts-th empty slot of this head's bucket
         # (occupancy snapshot from the find pass; slots filled by other
         # heads THIS call are excluded because every prior winner keeps
         # asserting its slot in the arbitration sort below).
-        tgt = jnp.full((n,), max_probes, jnp.int32)
+        tgt = jnp.full((n,), g, jnp.int32)
         cnt = jnp.zeros((n,), jnp.int32)
-        for pp in range(max_probes):
-            take = win_empty[pp] & (cnt == attempts) & (tgt == max_probes)
+        for pp in range(g):
+            take = win_empty[pp] & (cnt == attempts) & (tgt == g)
             tgt = jnp.where(take, pp, tgt)
             cnt = cnt + win_empty[pp]
-        trying = pending & (tgt < max_probes)
-        cand = start + jnp.minimum(tgt, max_probes - 1)
+        trying = pending & (tgt < g)
+        cand = bucket * g + jnp.minimum(tgt, g - 1)
         # Sort-based arbitration (no hash-table-sized scatter/gather):
         # rows sort by (slot, priority); the first row of each slot run
         # wins.  Prior winners participate with priority -1 so their slots
@@ -461,42 +500,56 @@ def insert(m: MapState, p: P3, mask, voxel_size: float, max_probes: int,
 
     head_slot = jnp.where(found, found_slot, alloc_slot)          # -1 if failed
 
-    # --- rebuild each head's full row elementwise ------------------------
-    # Existing words (sentinel row for fresh allocations); block fill level
-    # derives from the words themselves (blocks fill contiguously).
-    existing = jnp.where(found[:, None], row[:, :kmax],
-                         jnp.uint32(PACKED_SENTINEL))              # (n, K)
-    base = jnp.sum((existing != jnp.uint32(PACKED_SENTINEL)),
-                   axis=-1).astype(jnp.int32)                      # (n,)
+    # --- append words with per-point element scatters ---------------------
+    # The commit only touches what actually changed: each stored point is
+    # one scattered u32 (plus 4 meta lanes per head) — scatters cost ~5 ns
+    # per ELEMENT on TPU regardless of shape, so writing whole 24-lane rows
+    # (or rebuilding the table with gathers/selects) measured 3-10x slower.
+    # Block fill level derives from the stored words (blocks fill
+    # contiguously); no counts gather needed.
+    base_h = jnp.sum((jnp.where(found[:, None], row[:, :kmax],
+                                jnp.uint32(PACKED_SENTINEL))
+                      != jnp.uint32(PACKED_SENTINEL)),
+                     axis=-1).astype(jnp.int32)                    # (n,) heads
+
+    # Carry head values forward to group members with a segmented scan
+    # ("last value at or before me that had the head flag set").
+    def seg_last(flag, value):
+        def comb(a, b):
+            af, av = a
+            bf, bv = b
+            return af | bf, jnp.where(bf, bv, av)
+        return jax.lax.associative_scan(comb, (flag, value))[1]
+
+    slot_pp = seg_last(head, jnp.where(head, head_slot, -1))
+    base_pp = seg_last(head, base_h)
+    head_pos = seg_last(head, iota)
+    rank = iota - head_pos
+
+    lim = jnp.minimum(nxt, nvalid)          # first index past head i's group
+    dest_k = base_pp + rank
+    ok = svalid & (slot_pp >= 0) & (dest_k < kmax)
 
     words = pack_offsets(P3(sx, sy, sz), cx, cy, cz, voxel_size)   # (n,)
-    padded = jnp.concatenate(
-        [words, jnp.full((kmax,), PACKED_SENTINEL, jnp.uint32)])
-    # W_s[i] = packed word of the s-th member of the group headed at i.
-    lim = jnp.minimum(nxt, nvalid)          # first index past head i's group
-    lanes = []
-    for j in range(kmax):
-        lane = existing[:, j]
-        for s in range(j + 1):
-            take = (base == j - s) & (iota + s < lim)
-            lane = jnp.where(take, padded[s:s + n], lane)
-        lanes.append(lane)
-    appended = jnp.clip(lim - iota, 0, kmax) \
-        .astype(jnp.int32)                  # valid members (pre-capacity)
-    new_count = jnp.minimum(base + appended, kmax)
+    r = kmax + _META_LANES
+    sub = jnp.maximum(slot_pp, 0) % g
+    bkt = jnp.maximum(slot_pp, 0) // g
+    table = m.table.at[jnp.where(ok, bkt, m.num_buckets),
+                       sub * r + dest_k].set(words, mode="drop")
 
-    rows_out = jnp.stack(
-        lanes + [fpq, cx.astype(jnp.uint32), cy.astype(jnp.uint32),
-                 cz.astype(jnp.uint32)], axis=-1)                  # (n, R)
+    # Meta lanes (fingerprint + exact key) for freshly allocated heads.
+    fresh = head & ~found & (head_slot >= 0)
+    meta = jnp.stack([fpq, cx.astype(jnp.uint32), cy.astype(jnp.uint32),
+                      cz.astype(jnp.uint32)], axis=-1)             # (n, 4)
+    lane4 = (sub * r + kmax)[:, None] + jnp.arange(4, dtype=jnp.int32)[None, :]
+    table = table.at[jnp.where(fresh, bkt, m.num_buckets)[:, None],
+                     lane4].set(meta, mode="drop")
 
-    # Skip rows whose block did not change (existing voxel, all appends
-    # refused by the capacity gate) — in steady state most revisited voxels
-    # are full, and dropped scatter indices cost no HBM writes.
-    changed = ~found | (new_count > base)
-    write = head & (head_slot >= 0) & changed
-    dest = jnp.where(write, head_slot, capacity)
-    table = m.table.at[dest].set(rows_out, mode="drop")
-    counts = m.counts.at[dest].set(new_count, mode="drop")
+    appended = jnp.clip(lim - iota, 0, kmax - base_h).astype(jnp.int32)
+    new_count = base_h + appended
+    write_cnt = head & (head_slot >= 0) & (appended > 0)
+    counts = m.counts.at[jnp.where(write_cnt, bkt, m.num_buckets),
+                         sub].set(new_count, mode="drop")
     return MapState(table=table, counts=counts)
 
 
@@ -507,20 +560,24 @@ def evict_far(m: MapState, origin, max_distance: float, voxel_size: float) -> Ma
     strict ``> max_distance^2`` comparison.  Killed blocks reset their packed
     entries to the sentinel so slot reuse never exposes stale points.
     """
-    k = m.block_size
-    first_words = m.table[:, 0]
-    bx = m.table[:, k + 1].astype(jnp.int32)
-    by = m.table[:, k + 2].astype(jnp.int32)
-    bz = m.table[:, k + 3].astype(jnp.int32)
-    fpt = unpack_offsets(first_words, bx, by, bz, voxel_size)
-    dx, dy, dz = fpt.x - origin[0], fpt.y - origin[1], fpt.z - origin[2]
-    d2 = dx * dx + dy * dy + dz * dz
-    occupied = m.table[:, k] != 0
-    kill = occupied & (d2 > max_distance * max_distance)
+    k, g = m.block_size, m.bucket_slots
+    r = k + _META_LANES
+    kills = []
+    for gi in range(g):
+        sub = m.table[:, gi * r:(gi + 1) * r]
+        fpt = unpack_offsets(sub[:, 0], sub[:, k + 1].astype(jnp.int32),
+                             sub[:, k + 2].astype(jnp.int32),
+                             sub[:, k + 3].astype(jnp.int32), voxel_size)
+        dx, dy, dz = fpt.x - origin[0], fpt.y - origin[1], fpt.z - origin[2]
+        d2 = dx * dx + dy * dy + dz * dz
+        kills.append((sub[:, k] != 0) & (d2 > max_distance * max_distance))
+    kill = jnp.stack(kills, axis=-1)                              # (B, G)
 
-    lane = jnp.arange(m.table.shape[-1], dtype=jnp.int32)
-    reset_row = jnp.where(lane < k, jnp.uint32(PACKED_SENTINEL), jnp.uint32(0))
-    table = jnp.where(kill[:, None], reset_row[None, :], m.table)
+    lane_in_slot = jnp.arange(g * r, dtype=jnp.int32) % r
+    reset_row = jnp.where(lane_in_slot < k, jnp.uint32(PACKED_SENTINEL),
+                          jnp.uint32(0))
+    kill_lanes = jnp.repeat(kill, r, axis=-1)                     # (B, G*R)
+    table = jnp.where(kill_lanes, reset_row[None, :], m.table)
     return MapState(table=table, counts=jnp.where(kill, 0, m.counts))
 
 

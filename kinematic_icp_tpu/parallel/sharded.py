@@ -203,25 +203,20 @@ def sharded_register_frame(state: OdometryState, points, timestamps, mask,
 # Batched + sharded step over a (data, map) mesh
 # ----------------------------------------------------------------------
 
-def _empty_row(k: int):
-    import numpy as _np
-    row = _np.zeros(k + 4, _np.uint32)
-    row[:k] = hashmap.PACKED_SENTINEL
-    return jnp.asarray(row)
-
-
 def init_sharded_state(config: Config, mesh, batch: int,
                        dtype=jnp.float32) -> OdometryState:
-    """Batched odometry state with map slots sharded over the mesh.
+    """Batched odometry state with map buckets sharded over the mesh.
 
-    Array layouts (B = batch of sequences, C = total map capacity, K =
-    block size):  pose (B, 4, 4) @ P('data'); map key planes (B, C) and
-    point planes (B, C*K) @ P('data', 'map'); counts (B, C) likewise;
+    Array layouts (B = batch of sequences, NB = total bucket count, G =
+    slots/bucket, R = K+4):  pose (B, 4, 4) @ P('data'); bucket table
+    (B, NB, G*R) @ P('data', 'map'); counts (B, NB, G) likewise;
     threshold scalars (B,) @ P('data').
     """
     m = mesh.shape["map"]
-    assert config.map_capacity % m == 0
+    g = config.max_probes
     k = config.max_points_per_voxel
+    assert config.map_capacity % (m * g) == 0
+    nb = config.map_capacity // g
 
     def mk(spec, shape, fill, dt):
         sharding = NamedSharding(mesh, spec)
@@ -229,14 +224,14 @@ def init_sharded_state(config: Config, mesh, batch: int,
             lambda: jnp.full(shape, fill, dtype=dt),
             out_shardings=sharding)()
 
-    c = config.map_capacity
+    row = jnp.asarray(hashmap._empty_row_np(k, g))
     return OdometryState(
         pose=mk(P("data"), (batch, 4, 4), 0, dtype) + jnp.eye(4, dtype=dtype),
         map=hashmap.MapState(
             table=jax.jit(
-                lambda: jnp.broadcast_to(_empty_row(k), (batch, c, k + 4)),
+                lambda: jnp.broadcast_to(row, (batch, nb, row.shape[0])),
                 out_shardings=NamedSharding(mesh, P("data", "map")))(),
-            counts=mk(P("data", "map"), (batch, c), 0, jnp.int32),
+            counts=mk(P("data", "map"), (batch, nb, g), 0, jnp.int32),
         ),
         threshold=threshold.ThresholdState(
             odom_sse=mk(P("data"), (batch,), 0, dtype),

@@ -74,7 +74,8 @@ def export_map_debug(server, out_prefix: str):
     write_ply(out_prefix + "_local_map.ply", cloud, color=(120, 180, 255))
     m = server.state.map
     k = m.block_size
-    tab = np.asarray(m.table)
+    r = k + 4
+    tab = np.asarray(m.table).reshape(m.num_buckets * m.bucket_slots, r)
     occ = tab[:, k] != 0
     coords = tab[occ, k + 1:k + 4].astype(np.int64).astype(np.int32)
     write_voxel_grid_ply(out_prefix + "_voxel_grid.ply", coords,

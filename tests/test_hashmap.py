@@ -22,7 +22,7 @@ P = 8
 
 
 def make_map():
-    return hashmap.empty(CAP, K)
+    return hashmap.empty(CAP, K, bucket_slots=P)
 
 
 def insert(m, pts, mask=None):
