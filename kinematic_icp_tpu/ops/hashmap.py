@@ -16,22 +16,23 @@ per index) cost ~1-2 ns per ROW.  So one voxel = ONE table row:
                        (~1 mm at 1 m voxels); 0xFFFFFFFF = unused entry
       lane  [K]      : key fingerprint (murmur-finalized; 0 = empty slot)
       lanes [K+1..]  : exact voxel key (kx, ky, kz as two's-complement)
-    counts: (C,) int32 — insert bookkeeping only (queries use the packed
-                       sentinel, not counts)
+
+Block fill levels are derived from the packed sentinel (blocks fill
+contiguously), so the map needs no separate counts array.
 
 The table is BUCKETIZED: ``G`` (= Config.max_probes) voxel slots share one
 physical row of ``G*R`` lanes (96 lanes at the G=4, K=20 defaults — nearly a
 full 128-lane tile), so a query's whole probe neighborhood is ONE row gather:
 
     table:  (B, G*R) uint32 — bucket b, slot g occupies lanes [g*R, (g+1)*R)
-    counts: (B, G) int32    — insert bookkeeping only
 
 ``bucket = hash & (B-1)``; a voxel lives in any free slot of its bucket
 (found by elementwise fingerprint compare across the G sub-rows after the
 gather).  Bucket overflow (more than G voxels hashing to one bucket) refuses
 the insert for that frame — vanishingly rare at the <5% load factors this
 map runs at, and retried naturally on later frames.  In-place eviction needs
-no tombstones; inserts arbitrate free slots with a sort-based claim.
+no tombstones; inserts assign free slots rank-deterministically (see
+``insert``).
 
 Semantics matched to the reference:
   * first-come-kept voxel blocks (insertion refused when block full),
@@ -43,6 +44,8 @@ Semantics matched to the reference:
 """
 
 from __future__ import annotations
+
+import dataclasses
 
 from typing import NamedTuple
 
@@ -71,17 +74,20 @@ _OFFY = np.tile(np.array([dy for dy in (-1, 0, 1) for _ in range(3)],
 _OFFZ = np.tile(np.array([-1, 0, 1], np.int32), 9)
 
 
-class MapState(NamedTuple):
-    table: jnp.ndarray   # (B, G * (K + 4)) uint32
-    counts: jnp.ndarray  # (B, G) int32
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MapState:
+    """The map is ONE array: all per-voxel state (packed points, fingerprint,
+    exact key) lives in the bucket table; block fill levels are derived from
+    the packed-point sentinel, so inserts never maintain a separate counts
+    array (which used to cost a full extra element scatter per frame)."""
+
+    table: jnp.ndarray  # (B, G * (K + 4)) uint32
+    bucket_slots: int = dataclasses.field(metadata=dict(static=True))
 
     @property
     def num_buckets(self):
-        return self.counts.shape[-2]
-
-    @property
-    def bucket_slots(self):
-        return self.counts.shape[-1]
+        return self.table.shape[-2]
 
     @property
     def capacity(self):
@@ -90,7 +96,7 @@ class MapState(NamedTuple):
 
     @property
     def block_size(self):
-        return self.table.shape[-1] // self.counts.shape[-1] - _META_LANES
+        return self.table.shape[-1] // self.bucket_slots - _META_LANES
 
 
 class CandidateSet(NamedTuple):
@@ -151,7 +157,7 @@ def empty(capacity: int, max_points_per_voxel: int, dtype=jnp.float32,
     row = _empty_row_np(max_points_per_voxel, bucket_slots)
     return MapState(
         table=jnp.broadcast_to(jnp.asarray(row), (b, row.shape[0])).copy(),
-        counts=jnp.zeros((b, bucket_slots), dtype=jnp.int32),
+        bucket_slots=bucket_slots,
     )
 
 
@@ -160,18 +166,33 @@ def clear(m: MapState) -> MapState:
 
 
 def is_empty(m: MapState):
-    return ~jnp.any(m.counts > 0)
+    return num_voxels(m) == 0
 
 
 def _fp_lanes(m: MapState):
-    """(B, G) fingerprint lane per slot."""
+    """(..., B, G) fingerprint lane per slot."""
     k, r = m.block_size, m.block_size + _META_LANES
-    return jnp.stack([m.table[:, g * r + k] for g in range(m.bucket_slots)],
+    return jnp.stack([m.table[..., g * r + k] for g in range(m.bucket_slots)],
                      axis=-1)
 
 
 def num_voxels(m: MapState):
     return jnp.sum((_fp_lanes(m) != 0).astype(jnp.int32))
+
+
+def slot_counts(m: MapState):
+    """(..., B, G) stored-point count per voxel slot, derived from the packed
+    sentinel (blocks fill contiguously).  Debug/test surface — the insert
+    path never reads or writes a counts array."""
+    k, g = m.block_size, m.bucket_slots
+    r = k + _META_LANES
+    per = []
+    for gi in range(g):
+        sub = m.table[..., gi * r:(gi + 1) * r]
+        stored = jnp.sum((sub[..., :k] != jnp.uint32(PACKED_SENTINEL))
+                         .astype(jnp.int32), axis=-1)
+        per.append(jnp.where(sub[..., k] != 0, stored, 0))
+    return jnp.stack(per, axis=-1)
 
 
 def pack_offsets(p: P3, bx, by, bz, voxel_size: float):
@@ -412,145 +433,136 @@ def nearest_neighbor(m: MapState, q: P3, query_mask, voxel_size: float,
 
 
 def insert(m: MapState, p: P3, mask, voxel_size: float, max_probes: int,
-           max_alloc_rounds: int | None = None) -> MapState:
+           fresh_capacity: int | None = None) -> MapState:
     """AddPoints: insert world-frame points, first-come-kept per voxel block.
 
-    Points are grouped by voxel (stable lexicographic sort); each group's
-    head finds-or-allocates a slot, then the whole block row (packed words +
-    fingerprint + exact key) is rebuilt elementwise and written with ONE
-    row scatter — per-round table column writes and per-point element
-    scatters are the two dominant scatter costs this layout eliminates.
-    Appends stop at max_points_per_voxel, matching the reference's
-    ``VoxelBlock::AddPoint`` capacity gate.
+    Points are grouped by (bucket, voxel) with one stable lexicographic
+    sort; stability keeps input order inside each voxel group, matching the
+    reference's first-come-kept ``VoxelBlock::AddPoint`` order, and the
+    leading bucket key makes all groups contending for one bucket adjacent.
 
-    Allocation arbitration: heads target their k-th empty slot of their
-    bucket (from one snapshot of bucket occupancy) and race via a
-    sort-based claim; losers advance to their next empty slot for up to
-    ``max_alloc_rounds`` rounds.  At the <1-5% load factors this table runs
-    at, allocation failure is vanishingly rare (a failed voxel is simply
-    retried on the next frame's insert).
+    Every point in a group probes the SAME bucket, so each point recomputes
+    its group head's slot/fill-level locally from its own probe — no
+    propagation of head values is needed.  The only cross-point state is two
+    segmented counters (cumsum/cummax, ~3 us total at n=8K — measured ~10x
+    cheaper than the log-depth ``associative_scan`` lowering):
+
+      * rank of the group among the *new* (unfound) voxels of its bucket
+        run — new voxel #j of a bucket takes the j-th currently-empty slot,
+        a collision-free assignment that replaces sort-based arbitration
+        rounds entirely (more new voxels than empty slots => the excess
+        fail this frame and retry naturally on the next, exactly like the
+        old arbitration's round limit);
+      * position of the point inside its group — its append lane.
+
+    Commit granularity: one scattered u32 per stored point, plus 4 meta
+    lanes per freshly allocated voxel.  Fresh voxels are COMPACTED (one
+    small sort) to ``fresh_capacity`` rows before the meta scatter — in
+    steady state a frame allocates few new voxels, so scattering meta from
+    all n rows (mostly dropped) measured ~4x the cost of the words scatter
+    itself.  If a frame allocates more than ``fresh_capacity`` voxels (map
+    bootstrap, teleports), a ``lax.cond`` falls back to the full-width
+    scatter — exact semantics always.
     """
     g = m.bucket_slots
-    if max_alloc_rounds is None:
-        max_alloc_rounds = g
-    capacity, kmax = m.capacity, m.block_size
+    kmax = m.block_size
     n = p.x.shape[0]
+    if fresh_capacity is None:
+        fresh_capacity = max(256, n // 4)
+    fresh_capacity = min(fresh_capacity, n)
     inv = 1.0 / voxel_size
     cx = jnp.where(mask, jnp.floor(p.x * inv).astype(jnp.int32), SENTINEL)
     cy = jnp.where(mask, jnp.floor(p.y * inv).astype(jnp.int32), SENTINEL)
     cz = jnp.where(mask, jnp.floor(p.z * inv).astype(jnp.int32), SENTINEL)
+    bucket_key = bucket_of(cx, cy, cz, m.num_buckets)
 
-    # Group by voxel: stable lexicographic sort keeps input order per group;
-    # invalid points (SENTINEL keys) sort to a contiguous tail.
-    cx, cy, cz, sx, sy, sz = jax.lax.sort(
-        (cx, cy, cz, p.x, p.y, p.z), num_keys=3, is_stable=True)
+    bucket_key, cx, cy, cz, sx, sy, sz = jax.lax.sort(
+        (bucket_key, cx, cy, cz, p.x, p.y, p.z), num_keys=4, is_stable=True)
     svalid = cx != SENTINEL
-    nvalid = jnp.sum(svalid).astype(jnp.int32)
 
     head = ((cx != jnp.roll(cx, 1)) | (cy != jnp.roll(cy, 1))
             | (cz != jnp.roll(cz, 1)))
     head = head.at[0].set(True) & svalid
+    run_start = (bucket_key != jnp.roll(bucket_key, 1)).at[0].set(True)
 
-    iota = jnp.arange(n, dtype=jnp.int32)
-    # Position of the next head after i (n if none): bounds each group.
-    nxt_src = jnp.concatenate([jnp.where(head, iota, n)[1:],
-                               jnp.full((1,), n, jnp.int32)])
-    nxt = jnp.flip(jax.lax.associative_scan(jnp.minimum, jnp.flip(nxt_src)))
-
-    # --- exact find for group heads (the only gathers in this function) --
+    # --- probe: every point fetches its own bucket row --------------------
+    # (invalid rows probe a harmless bucket and never match: SENTINEL guard)
     row, found, found_slot, win_empty = _probe_rows(m, cx, cy, cz, max_probes)
-    found = found & head
 
-    # --- allocate slots for new voxels (no table writes) -----------------
-    bucket = bucket_of(cx, cy, cz, m.num_buckets)
-    fpq = fingerprint(cx, cy, cz)
-    alloc_slot = jnp.full((n,), -1, dtype=jnp.int32)
-    attempts = jnp.zeros((n,), jnp.int32)
-    pending = head & ~found
-    for _ in range(max_alloc_rounds):
-        # Target = the attempts-th empty slot of this head's bucket
-        # (occupancy snapshot from the find pass; slots filled by other
-        # heads THIS call are excluded because every prior winner keeps
-        # asserting its slot in the arbitration sort below).
-        tgt = jnp.full((n,), g, jnp.int32)
-        cnt = jnp.zeros((n,), jnp.int32)
-        for pp in range(g):
-            take = win_empty[pp] & (cnt == attempts) & (tgt == g)
-            tgt = jnp.where(take, pp, tgt)
-            cnt = cnt + win_empty[pp]
-        trying = pending & (tgt < g)
-        cand = bucket * g + jnp.minimum(tgt, g - 1)
-        # Sort-based arbitration (no hash-table-sized scatter/gather):
-        # rows sort by (slot, priority); the first row of each slot run
-        # wins.  Prior winners participate with priority -1 so their slots
-        # can never be stolen; ties within a round go to the lowest index.
-        owner = alloc_slot >= 0
-        k1 = jnp.where(owner, alloc_slot,
-                       jnp.where(trying, cand, capacity))
-        k2 = jnp.where(owner, jnp.int32(-1), iota)
-        s1, _, pay = jax.lax.sort((k1, k2, iota), num_keys=2)
-        prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s1[:-1]])
-        first = (s1 != prev) & (s1 < capacity)
-        # Route the win flags back to input order with one more sort.
-        _, win_flag = jax.lax.sort((pay, first.astype(jnp.int32)), num_keys=1)
-        winner = trying & (win_flag == 1)
-        alloc_slot = jnp.where(winner, cand, alloc_slot)
-        pending = pending & ~winner
-        attempts = attempts + trying.astype(jnp.int32)
+    # Fill level of the point's block (0 for unfound/new voxels) — derived
+    # from the packed sentinel, identical for every member of a group.
+    base = jnp.sum((jnp.where(found[:, None], row[:, :kmax],
+                              jnp.uint32(PACKED_SENTINEL))
+                    != jnp.uint32(PACKED_SENTINEL)),
+                   axis=-1).astype(jnp.int32)                      # (n,)
 
-    head_slot = jnp.where(found, found_slot, alloc_slot)          # -1 if failed
+    # --- segmented counters ------------------------------------------------
+    iota = jnp.arange(n, dtype=jnp.int32)
+    pend_head = (head & ~found).astype(jnp.int32)
+    pend_cum = jnp.cumsum(pend_head)                               # inclusive
+    run_base = jax.lax.cummax(
+        jnp.where(run_start, pend_cum - pend_head, -1))
+    # 0-based rank of this point's (new) voxel among the new voxels of its
+    # bucket run; every member of a group sees its head's value because only
+    # heads feed the counter.
+    pend_rank = pend_cum - run_base - 1
+    head_pos = jax.lax.cummax(jnp.where(head, iota, -1))
+    lane = iota - head_pos                                         # in-group
 
-    # --- append words with per-point element scatters ---------------------
-    # The commit only touches what actually changed: each stored point is
-    # one scattered u32 (plus 4 meta lanes per head) — scatters cost ~5 ns
-    # per ELEMENT on TPU regardless of shape, so writing whole 24-lane rows
-    # (or rebuilding the table with gathers/selects) measured 3-10x slower.
-    # Block fill level derives from the stored words (blocks fill
-    # contiguously); no counts gather needed.
-    base_h = jnp.sum((jnp.where(found[:, None], row[:, :kmax],
-                                jnp.uint32(PACKED_SENTINEL))
-                      != jnp.uint32(PACKED_SENTINEL)),
-                     axis=-1).astype(jnp.int32)                    # (n,) heads
+    # --- slot assignment: new voxel #j takes the j-th empty slot ----------
+    tgt = jnp.full((n,), g, jnp.int32)
+    cnt = jnp.zeros((n,), jnp.int32)
+    for pp in range(g):
+        take = win_empty[pp] & (cnt == pend_rank) & (tgt == g)
+        tgt = jnp.where(take, pp, tgt)
+        cnt = cnt + win_empty[pp]
+    sub = jnp.where(found, found_slot % g, tgt)
+    has_slot = svalid & (found | (tgt < g))
 
-    # Carry head values forward to group members with a segmented scan
-    # ("last value at or before me that had the head flag set").
-    def seg_last(flag, value):
-        def comb(a, b):
-            af, av = a
-            bf, bv = b
-            return af | bf, jnp.where(bf, bv, av)
-        return jax.lax.associative_scan(comb, (flag, value))[1]
-
-    slot_pp = seg_last(head, jnp.where(head, head_slot, -1))
-    base_pp = seg_last(head, base_h)
-    head_pos = seg_last(head, iota)
-    rank = iota - head_pos
-
-    lim = jnp.minimum(nxt, nvalid)          # first index past head i's group
-    dest_k = base_pp + rank
-    ok = svalid & (slot_pp >= 0) & (dest_k < kmax)
-
+    # --- append words: one scattered u32 per stored point -----------------
+    # (element scatters cost ~5 ns/element regardless of shape; whole-row
+    # scatters and gather/select table rebuilds measured 3-10x slower)
+    dest_k = base + lane
+    ok = has_slot & (dest_k < kmax)
     words = pack_offsets(P3(sx, sy, sz), cx, cy, cz, voxel_size)   # (n,)
     r = kmax + _META_LANES
-    sub = jnp.maximum(slot_pp, 0) % g
-    bkt = jnp.maximum(slot_pp, 0) // g
-    table = m.table.at[jnp.where(ok, bkt, m.num_buckets),
-                       sub * r + dest_k].set(words, mode="drop")
+    safe_sub = jnp.minimum(sub, g - 1)
+    table = m.table.at[jnp.where(ok, bucket_key, m.num_buckets),
+                       safe_sub * r + jnp.minimum(dest_k, kmax - 1)
+                       ].set(words, mode="drop")
 
-    # Meta lanes (fingerprint + exact key) for freshly allocated heads.
-    fresh = head & ~found & (head_slot >= 0)
-    meta = jnp.stack([fpq, cx.astype(jnp.uint32), cy.astype(jnp.uint32),
-                      cz.astype(jnp.uint32)], axis=-1)             # (n, 4)
-    lane4 = (sub * r + kmax)[:, None] + jnp.arange(4, dtype=jnp.int32)[None, :]
-    table = table.at[jnp.where(fresh, bkt, m.num_buckets)[:, None],
-                     lane4].set(meta, mode="drop")
+    # --- meta lanes (fingerprint + exact key) for fresh voxels ------------
+    fpq = fingerprint(cx, cy, cz)
+    fresh = head & ~found & (tgt < g)
+    num_fresh = jnp.sum(fresh.astype(jnp.int32))
+    meta_cols = (fpq, cx.astype(jnp.uint32), cy.astype(jnp.uint32),
+                 cz.astype(jnp.uint32))
+    lane0 = safe_sub * r + kmax
+    four = jnp.arange(4, dtype=jnp.int32)[None, :]
 
-    appended = jnp.clip(lim - iota, 0, kmax - base_h).astype(jnp.int32)
-    new_count = base_h + appended
-    write_cnt = head & (head_slot >= 0) & (appended > 0)
-    counts = m.counts.at[jnp.where(write_cnt, bkt, m.num_buckets),
-                         sub].set(new_count, mode="drop")
-    return MapState(table=table, counts=counts)
+    def scatter_meta(tbl, rows_idx, lane_base, cols, write):
+        meta = jnp.stack(cols, axis=-1)
+        return tbl.at[jnp.where(write, rows_idx, tbl.shape[0])[:, None],
+                      lane_base[:, None] + four].set(meta, mode="drop")
+
+    def compact_path(tbl):
+        ckey = jnp.where(fresh, jnp.int32(0), jnp.int32(1))
+        _, cb, cl, *ccols = jax.lax.sort(
+            (ckey, bucket_key, lane0) + meta_cols, num_keys=1)
+        keep = slice(0, fresh_capacity)
+        cw = jnp.arange(fresh_capacity, dtype=jnp.int32) < num_fresh
+        return scatter_meta(tbl, cb[keep], cl[keep],
+                            tuple(c[keep] for c in ccols), cw)
+
+    def full_path(tbl):
+        return scatter_meta(tbl, bucket_key, lane0, meta_cols, fresh)
+
+    if fresh_capacity >= n:
+        table = full_path(table)
+    else:
+        table = jax.lax.cond(num_fresh > fresh_capacity,
+                             full_path, compact_path, table)
+    return MapState(table=table, bucket_slots=g)
 
 
 def evict_far(m: MapState, origin, max_distance: float, voxel_size: float) -> MapState:
@@ -578,7 +590,7 @@ def evict_far(m: MapState, origin, max_distance: float, voxel_size: float) -> Ma
                           jnp.uint32(0))
     kill_lanes = jnp.repeat(kill, r, axis=-1)                     # (B, G*R)
     table = jnp.where(kill_lanes, reset_row[None, :], m.table)
-    return MapState(table=table, counts=jnp.where(kill, 0, m.counts))
+    return MapState(table=table, bucket_slots=g)
 
 
 def update(m: MapState, p: P3, mask, pose, voxel_size: float,

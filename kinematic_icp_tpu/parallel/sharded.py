@@ -209,8 +209,7 @@ def init_sharded_state(config: Config, mesh, batch: int,
 
     Array layouts (B = batch of sequences, NB = total bucket count, G =
     slots/bucket, R = K+4):  pose (B, 4, 4) @ P('data'); bucket table
-    (B, NB, G*R) @ P('data', 'map'); counts (B, NB, G) likewise;
-    threshold scalars (B,) @ P('data').
+    (B, NB, G*R) @ P('data', 'map'); threshold scalars (B,) @ P('data').
     """
     m = mesh.shape["map"]
     g = config.max_probes
@@ -231,7 +230,7 @@ def init_sharded_state(config: Config, mesh, batch: int,
             table=jax.jit(
                 lambda: jnp.broadcast_to(row, (batch, nb, row.shape[0])),
                 out_shardings=NamedSharding(mesh, P("data", "map")))(),
-            counts=mk(P("data", "map"), (batch, nb, g), 0, jnp.int32),
+            bucket_slots=g,
         ),
         threshold=threshold.ThresholdState(
             odom_sse=mk(P("data"), (batch,), 0, dtype),
@@ -272,7 +271,7 @@ def make_sharded_step(config: Config, mesh, donate: bool = True):
     dm = P("data", "map")
     state_specs = OdometryState(
         pose=P("data"),
-        map=hashmap.MapState(table=dm, counts=dm),
+        map=hashmap.MapState(table=dm, bucket_slots=config.max_probes),
         threshold=threshold.ThresholdState(odom_sse=P("data"),
                                            num_samples=P("data")),
     )

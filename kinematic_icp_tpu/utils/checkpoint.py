@@ -20,13 +20,14 @@ from ..config import Config
 from ..models.pipeline import OdometryState
 from ..ops import hashmap, threshold
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
 
 
 def save_state(path, state: OdometryState, config: Config | None = None,
                extra: dict | None = None):
     """Write the full odometry state (and optionally its config) to npz."""
-    meta = {"format_version": _FORMAT_VERSION}
+    meta = {"format_version": _FORMAT_VERSION,
+            "bucket_slots": state.map.bucket_slots}
     if config is not None:
         meta["config"] = dataclasses.asdict(config)
     if extra:
@@ -35,7 +36,6 @@ def save_state(path, state: OdometryState, config: Config | None = None,
         path,
         pose=np.asarray(state.pose),
         map_table=np.asarray(state.map.table),
-        map_counts=np.asarray(state.map.counts),
         threshold_sse=np.asarray(state.threshold.odom_sse),
         threshold_n=np.asarray(state.threshold.num_samples),
         meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
@@ -53,7 +53,7 @@ def load_state(path):
             pose=jnp.asarray(z["pose"]),
             map=hashmap.MapState(
                 table=jnp.asarray(z["map_table"]),
-                counts=jnp.asarray(z["map_counts"])),
+                bucket_slots=int(meta["bucket_slots"])),
             threshold=threshold.ThresholdState(
                 odom_sse=jnp.asarray(z["threshold_sse"]),
                 num_samples=jnp.asarray(z["threshold_n"])),

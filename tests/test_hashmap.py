@@ -63,14 +63,14 @@ class TestInsert:
     def test_basic_insert_and_count(self):
         m = insert(make_map(), [[0.5, 0.5, 0.5], [1.5, 0.5, 0.5]])
         assert int(hashmap.num_voxels(m)) == 2
-        assert int(jnp.sum(m.counts)) == 2
+        assert int(jnp.sum(hashmap.slot_counts(m))) == 2
 
     def test_block_capacity_first_come_kept(self):
         pts = np.tile([[0.5, 0.5, 0.5]], (K + 3, 1)) + \
             RNG.uniform(0, 0.4, size=(K + 3, 3))
         m = insert(make_map(), pts)
         assert int(hashmap.num_voxels(m)) == 1
-        assert int(jnp.sum(m.counts)) == K
+        assert int(jnp.sum(hashmap.slot_counts(m))) == K
         # the first K points (input order) must be the stored ones
         # (packed 10-bit offsets => ~1 mm quantization)
         cloud, cmask = hashmap.pointcloud(m, VS)
@@ -82,7 +82,7 @@ class TestInsert:
         m = insert(make_map(), [[0.1, 0.1, 0.1]])
         m = insert(m, [[0.2, 0.2, 0.2], [0.3, 0.3, 0.3]])
         assert int(hashmap.num_voxels(m)) == 1
-        assert int(jnp.sum(m.counts)) == 3
+        assert int(jnp.sum(hashmap.slot_counts(m))) == 3
 
     def test_masked_points_skipped(self):
         m = insert(make_map(), [[0.1, 0.1, 0.1], [5.5, 5.5, 5.5]],
@@ -94,7 +94,7 @@ class TestInsert:
         m = insert(make_map(), pts)
         ref = oracle_map([pts])
         assert int(hashmap.num_voxels(m)) == len(ref)
-        assert int(jnp.sum(m.counts)) == sum(len(b) for b in ref.values())
+        assert int(jnp.sum(hashmap.slot_counts(m))) == sum(len(b) for b in ref.values())
 
     def test_is_empty(self):
         m = make_map()
