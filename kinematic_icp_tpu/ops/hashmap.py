@@ -103,17 +103,21 @@ class CandidateSet(NamedTuple):
     """Candidate map points per query, kept PACKED between GN iterations.
 
     ``words`` (V, N, K) uint32 are the stored 10/10/10-bit in-voxel offsets
-    and ``bx/by/bz/found`` (V, N) the voxel coords they unpack against.
-    Keeping candidates packed (4 B/point + 13 B/voxel) instead of three f32
-    planes + valid (16 B/point) cuts the HBM traffic of every GN
-    re-selection pass ~4x; unpacking is a few VPU ops fused into the
-    distance computation.
+    (``PACKED_SENTINEL`` = no candidate, which also encodes "voxel not in
+    map": unfound probe rows stay sentinel-filled).  ``rel`` (V, N) int32 in
+    [0, 27) says which of the 27 neighbor offsets the row probes, relative
+    to ``base_*`` — the query's voxel coords at gather time.  Storing the
+    5-bit offset id instead of three absolute voxel-coord planes lets the
+    NN winner reconstruct its world point elementwise (no gathers) and cuts
+    the cached bytes per voxel from 13 to 4.  Candidates stay packed
+    (4 B/point) so each GN re-selection pass streams ~4x less HBM than
+    unpacked f32 planes; unpacking fuses into the distance computation.
     """
     words: jnp.ndarray   # (V, N, K) uint32
-    bx: jnp.ndarray      # (V, N) int32
-    by: jnp.ndarray
-    bz: jnp.ndarray
-    found: jnp.ndarray   # (V, N) bool
+    rel: jnp.ndarray     # (V, N) int32 in [0, 27)
+    base_x: jnp.ndarray  # (N,) int32
+    base_y: jnp.ndarray
+    base_z: jnp.ndarray
 
 
 def fingerprint(bx, by, bz):
@@ -301,6 +305,11 @@ def _box_lower_bound_d2(q: P3, bx, by, bz, voxel_size: float):
     return dx * dx + dy * dy + dz * dz
 
 
+def _rel_to_offsets(rel):
+    """5-bit neighbor-offset id in [0, 27) -> (ox, oy, oz) in {-1, 0, 1}."""
+    return rel // 9 - 1, (rel // 3) % 3 - 1, rel % 3 - 1
+
+
 def gather_candidates(m: MapState, q: P3, voxel_size: float, max_probes: int,
                       num_candidate_voxels: int = 27) -> CandidateSet:
     """One gather pass: candidate map points around each query.
@@ -312,43 +321,72 @@ def gather_candidates(m: MapState, q: P3, voxel_size: float, max_probes: int,
         box bound makes smaller V a principled approximation: a voxel can
         only be skipped in favor of voxels that are geometrically closer).
 
-    Returns a CandidateSet of (V, N, K) world-point planes + validity.
+    Returns a CandidateSet of packed words; the fat bucket rows are consumed
+    by a single select chain (slot fingerprint + exact-key match) so only
+    the (V, N, K) packed words persist, not the (V, N, G*R) gather output.
     """
-    k = m.block_size
+    k, g = m.block_size, m.bucket_slots
+    r = k + _META_LANES
     v = num_candidate_voxels
     inv = 1.0 / voxel_size
-    bx = jnp.floor(q.x * inv).astype(jnp.int32)[None, :] + _OFFX[:, None]
-    by = jnp.floor(q.y * inv).astype(jnp.int32)[None, :] + _OFFY[:, None]
-    bz = jnp.floor(q.z * inv).astype(jnp.int32)[None, :] + _OFFZ[:, None]
+    base_x = jnp.floor(q.x * inv).astype(jnp.int32)
+    base_y = jnp.floor(q.y * inv).astype(jnp.int32)
+    base_z = jnp.floor(q.z * inv).astype(jnp.int32)
 
     if v < 27:
         # Select the V nearest voxels by box lower bound.  The offset index
         # rides in the low 5 bits of the bitcast distance key, so this is a
         # single-operand u32 sort over the 27-row axis — element gathers
         # (argsort + take_along_axis) measured ~30x slower here.
+        bx = base_x[None, :] + _OFFX[:, None]
+        by = base_y[None, :] + _OFFY[:, None]
+        bz = base_z[None, :] + _OFFZ[:, None]
         lb = _box_lower_bound_d2(q, bx, by, bz, voxel_size)       # (27, N)
         key = (jax.lax.bitcast_convert_type(lb, jnp.uint32)
                & jnp.uint32(0xFFFFFFE0))
         key = key | jnp.arange(27, dtype=jnp.uint32)[:, None]
         key = jax.lax.sort(key, dimension=0)[:v]                  # (V, N)
-        idx = (key & jnp.uint32(31)).astype(jnp.int32)            # offset id
-        base_x = jnp.floor(q.x * inv).astype(jnp.int32)
-        base_y = jnp.floor(q.y * inv).astype(jnp.int32)
-        base_z = jnp.floor(q.z * inv).astype(jnp.int32)
-        bx = base_x[None, :] + idx // 9 - 1
-        by = base_y[None, :] + (idx // 3) % 3 - 1
-        bz = base_z[None, :] + idx % 3 - 1
+        rel = (key & jnp.uint32(31)).astype(jnp.int32)            # offset id
+    else:
+        rel = jnp.broadcast_to(jnp.arange(27, dtype=jnp.int32)[:, None],
+                               (27, q.x.shape[0]))
+    ox, oy, oz = _rel_to_offsets(rel)
+    bx = base_x[None, :] + ox
+    by = base_y[None, :] + oy
+    bz = base_z[None, :] + oz
 
-    row, found, _, _ = _probe_rows(m, bx, by, bz, max_probes)     # (V, N, R)
-    return CandidateSet(words=row[..., :k], bx=bx, by=by, bz=bz, found=found)
+    bucket = bucket_of(bx, by, bz, m.num_buckets)
+    fpq = fingerprint(bx, by, bz)
+    ukx = bx.astype(jnp.uint32)
+    uky = by.astype(jnp.uint32)
+    ukz = bz.astype(jnp.uint32)
+    fat = m.table[bucket]                                        # (V, N, G*R)
+    # A voxel occupies at most one slot of its bucket, so the slot select is
+    # a masked SUM over sub-rows (not a sequential where-chain, which XLA
+    # splits into several full-size fusions).
+    words = jnp.zeros(bx.shape + (k,), jnp.uint32)
+    anyhit = jnp.zeros(bx.shape, bool)
+    for gi in range(g):
+        sub = fat[..., gi * r:(gi + 1) * r]
+        hit = ((sub[..., k] == fpq) & (sub[..., k + 1] == ukx)
+               & (sub[..., k + 2] == uky) & (sub[..., k + 3] == ukz))
+        words = words + jnp.where(hit[..., None], sub[..., :k],
+                                  jnp.uint32(0))
+        anyhit = anyhit | hit
+    words = jnp.where(anyhit[..., None], words, jnp.uint32(PACKED_SENTINEL))
+    return CandidateSet(words=words, rel=rel,
+                        base_x=base_x, base_y=base_y, base_z=base_z)
 
 
 def _candidate_points(cand: CandidateSet, voxel_size: float, dtype):
     """Unpack candidate words -> ((V, N, K) coordinate planes, valid)."""
-    pts = unpack_offsets(cand.words, cand.bx[..., None], cand.by[..., None],
-                         cand.bz[..., None], voxel_size, dtype)
-    valid = ((cand.words != jnp.uint32(PACKED_SENTINEL))
-             & cand.found[..., None])
+    ox, oy, oz = _rel_to_offsets(cand.rel)
+    pts = unpack_offsets(cand.words,
+                         (cand.base_x[None, :] + ox)[..., None],
+                         (cand.base_y[None, :] + oy)[..., None],
+                         (cand.base_z[None, :] + oz)[..., None],
+                         voxel_size, dtype)
+    valid = cand.words != jnp.uint32(PACKED_SENTINEL)
     return pts, valid
 
 
@@ -380,8 +418,7 @@ def reduce_candidates(cand: CandidateSet, q: P3, keep: int,
         outs.append(jnp.where(jnp.isfinite(best[..., 0]), word,
                               jnp.uint32(PACKED_SENTINEL)))
         cur = jnp.where(pick, jnp.inf, cur)
-    return CandidateSet(words=jnp.stack(outs, axis=2), bx=cand.bx,
-                        by=cand.by, bz=cand.bz, found=cand.found)
+    return cand._replace(words=jnp.stack(outs, axis=2))
 
 
 def nn_from_candidates(cand: CandidateSet, q: P3, query_mask,
@@ -389,39 +426,45 @@ def nn_from_candidates(cand: CandidateSet, q: P3, query_mask,
     """Closest candidate per query — pure elementwise + axis reductions.
 
     No argmin/take_along_axis (element gathers, ~10 ns/element on TPU).
-    The winner is found with a SINGLE min-reduction over a packed key:
-    the bitcast distance's low mantissa bits are replaced by the linear
-    candidate index (IEEE non-negative floats order as u32), so the min
-    carries its own argmin — ties break to the lowest (voxel, entry) index
-    like a first-minimum scan.  The <=2^-13 relative distance quantization
-    (sub-millimetre at these ranges) is below the map's 1 mm storage grid.
+    The winner is found with a min-reduction over a packed key: the bitcast
+    distance's low 10 mantissa bits are replaced by (offset id, entry lane)
+    (IEEE non-negative floats order as u32), so the min carries everything
+    needed to RECONSTRUCT the winner elementwise — a second masked-sum pass
+    extracts the winning packed word, the offset id decodes the winning
+    voxel, and the exact distance is recomputed from the reconstructed
+    point (no quantized-distance output).  Ties (equal to <=2^-13 relative)
+    break to the lowest (offset id, lane).
 
     Returns (P3 neighbors (N,), dist (N,)); inf distance when no candidate.
     """
     v, n, k = cand.words.shape
-    bits = max(1, (v * k - 1).bit_length())
-    assert bits <= 10, "too many candidates for the packed argmin key"
-    lo = jnp.uint32((1 << bits) - 1)
+    assert k <= 32, "packed argmin key holds a 5-bit entry lane"
+    lo = jnp.uint32(0x3FF)                                        # 10 bits
     pts, valid = _candidate_points(cand, voxel_size, q.x.dtype)
     dx = pts.x - q.x[None, :, None]
     dy = pts.y - q.y[None, :, None]
     dz = pts.z - q.z[None, :, None]
     d2 = dx * dx + dy * dy + dz * dz
 
-    lin = (jax.lax.broadcasted_iota(jnp.uint32, (v, n, k), 0) * jnp.uint32(k)
-           + jax.lax.broadcasted_iota(jnp.uint32, (v, n, k), 2))
-    key = (jax.lax.bitcast_convert_type(d2, jnp.uint32) | lo) ^ (lo - lin)
-    key = jnp.where(valid, key, jnp.uint32(0xFFFFFFFF))
+    lane = jax.lax.broadcasted_iota(jnp.uint32, (v, n, k), 2)
+    tag = (cand.rel.astype(jnp.uint32)[..., None] << 5) | lane
+    key = (jax.lax.bitcast_convert_type(d2, jnp.uint32) & ~lo) | tag
+    key = jnp.where(valid & query_mask[None, :, None], key,
+                    jnp.uint32(0xFFFFFFFF))
     best = jnp.min(key, axis=(0, 2))                              # (N,)
 
+    # (rel, lane) is unique per query, so exactly one candidate matches.
     pick = key == best[None, :, None]
-    nearest = P3(jnp.sum(jnp.where(pick, pts.x, 0.0), axis=(0, 2)),
-                 jnp.sum(jnp.where(pick, pts.y, 0.0), axis=(0, 2)),
-                 jnp.sum(jnp.where(pick, pts.z, 0.0), axis=(0, 2)))
-    best_d2 = jax.lax.bitcast_convert_type(best | lo,
-                                           jnp.float32).astype(q.x.dtype)
+    word = jnp.sum(jnp.where(pick, cand.words, jnp.uint32(0)), axis=(0, 2))
+    wx, wy, wz = _rel_to_offsets(((best >> 5) & jnp.uint32(31)).astype(jnp.int32))
+    nearest = unpack_offsets(word, cand.base_x + wx, cand.base_y + wy,
+                             cand.base_z + wz, voxel_size, q.x.dtype)
+    ex = nearest.x - q.x
+    ey = nearest.y - q.y
+    ez = nearest.z - q.z
     has = best != jnp.uint32(0xFFFFFFFF)
-    dist = jnp.where(query_mask & has, jnp.sqrt(best_d2), jnp.inf)
+    dist = jnp.where(query_mask & has,
+                     jnp.sqrt(ex * ex + ey * ey + ez * ez), jnp.inf)
     return nearest, dist
 
 
@@ -468,7 +511,12 @@ def insert(m: MapState, p: P3, mask, voxel_size: float, max_probes: int,
     kmax = m.block_size
     n = p.x.shape[0]
     if fresh_capacity is None:
-        fresh_capacity = max(256, n // 4)
+        # Steady state allocates tens of new voxels per frame (measured
+        # 12-30 at 8K-point frames on synthetic drives); n//16 = 512 leaves
+        # a wide margin while keeping the meta scatter 16x narrower than
+        # full width.  Bootstrap frames overflow into the exact full-width
+        # fallback below.
+        fresh_capacity = max(128, n // 16)
     fresh_capacity = min(fresh_capacity, n)
     inv = 1.0 / voxel_size
     cx = jnp.where(mask, jnp.floor(p.x * inv).astype(jnp.int32), SENTINEL)
@@ -487,14 +535,32 @@ def insert(m: MapState, p: P3, mask, voxel_size: float, max_probes: int,
 
     # --- probe: every point fetches its own bucket row --------------------
     # (invalid rows probe a harmless bucket and never match: SENTINEL guard)
-    row, found, found_slot, win_empty = _probe_rows(m, cx, cy, cz, max_probes)
-
-    # Fill level of the point's block (0 for unfound/new voxels) — derived
-    # from the packed sentinel, identical for every member of a group.
-    base = jnp.sum((jnp.where(found[:, None], row[:, :kmax],
-                              jnp.uint32(PACKED_SENTINEL))
-                    != jnp.uint32(PACKED_SENTINEL)),
-                   axis=-1).astype(jnp.int32)                      # (n,)
+    # Specialized per-slot reductions: the insert path needs only scalars
+    # per point (match slot, fill level, per-slot emptiness) — never the
+    # row content — so the fat gather is consumed by one reduction chain
+    # instead of materializing a selected (n, R) row.
+    r = kmax + _META_LANES
+    fpq = fingerprint(cx, cy, cz)
+    valid_q = cx != SENTINEL
+    ukx = cx.astype(jnp.uint32)
+    uky = cy.astype(jnp.uint32)
+    ukz = cz.astype(jnp.uint32)
+    fat = m.table[bucket_key]                                     # (n, G*R)
+    found = jnp.zeros((n,), bool)
+    found_slot = jnp.zeros((n,), jnp.int32)
+    base = jnp.zeros((n,), jnp.int32)
+    win_empty = []
+    for gi in range(g):
+        sub = fat[..., gi * r:(gi + 1) * r]
+        hit = ((sub[..., kmax] == fpq) & (sub[..., kmax + 1] == ukx)
+               & (sub[..., kmax + 2] == uky) & (sub[..., kmax + 3] == ukz)
+               & valid_q)
+        fill = jnp.sum((sub[..., :kmax] != jnp.uint32(PACKED_SENTINEL))
+                       .astype(jnp.int32), axis=-1)
+        base = base + jnp.where(hit, fill, 0)   # at most one slot matches
+        found_slot = found_slot + jnp.where(hit, gi, 0)
+        found = found | hit
+        win_empty.append(sub[..., kmax] == 0)
 
     # --- segmented counters ------------------------------------------------
     iota = jnp.arange(n, dtype=jnp.int32)
@@ -516,7 +582,7 @@ def insert(m: MapState, p: P3, mask, voxel_size: float, max_probes: int,
         take = win_empty[pp] & (cnt == pend_rank) & (tgt == g)
         tgt = jnp.where(take, pp, tgt)
         cnt = cnt + win_empty[pp]
-    sub = jnp.where(found, found_slot % g, tgt)
+    sub = jnp.where(found, found_slot, tgt)
     has_slot = svalid & (found | (tgt < g))
 
     # --- append words: one scattered u32 per stored point -----------------
@@ -525,37 +591,39 @@ def insert(m: MapState, p: P3, mask, voxel_size: float, max_probes: int,
     dest_k = base + lane
     ok = has_slot & (dest_k < kmax)
     words = pack_offsets(P3(sx, sy, sz), cx, cy, cz, voxel_size)   # (n,)
-    r = kmax + _META_LANES
     safe_sub = jnp.minimum(sub, g - 1)
     table = m.table.at[jnp.where(ok, bucket_key, m.num_buckets),
                        safe_sub * r + jnp.minimum(dest_k, kmax - 1)
                        ].set(words, mode="drop")
 
     # --- meta lanes (fingerprint + exact key) for fresh voxels ------------
-    fpq = fingerprint(cx, cy, cz)
     fresh = head & ~found & (tgt < g)
     num_fresh = jnp.sum(fresh.astype(jnp.int32))
-    meta_cols = (fpq, cx.astype(jnp.uint32), cy.astype(jnp.uint32),
-                 cz.astype(jnp.uint32))
-    lane0 = safe_sub * r + kmax
     four = jnp.arange(4, dtype=jnp.int32)[None, :]
 
-    def scatter_meta(tbl, rows_idx, lane_base, cols, write):
-        meta = jnp.stack(cols, axis=-1)
+    def scatter_meta(tbl, rows_idx, lane_base, fp, ux, uy, uz, write):
+        meta = jnp.stack((fp, ux, uy, uz), axis=-1)
         return tbl.at[jnp.where(write, rows_idx, tbl.shape[0])[:, None],
                       lane_base[:, None] + four].set(meta, mode="drop")
 
     def compact_path(tbl):
-        ckey = jnp.where(fresh, jnp.int32(0), jnp.int32(1))
-        _, cb, cl, *ccols = jax.lax.sort(
-            (ckey, bucket_key, lane0) + meta_cols, num_keys=1)
+        # Sort carries only (slot-in-key, voxel coords); bucket/fingerprint
+        # are recomputed on the compacted rows (fresh_capacity of them).
+        ckey = jnp.where(fresh, safe_sub, jnp.int32(g))
+        ckey, ccx, ccy, ccz = jax.lax.sort(
+            (ckey, cx, cy, cz), num_keys=1)
         keep = slice(0, fresh_capacity)
+        ckey, ccx, ccy, ccz = (a[keep] for a in (ckey, ccx, ccy, ccz))
         cw = jnp.arange(fresh_capacity, dtype=jnp.int32) < num_fresh
-        return scatter_meta(tbl, cb[keep], cl[keep],
-                            tuple(c[keep] for c in ccols), cw)
+        clane0 = jnp.minimum(ckey, g - 1) * r + kmax
+        return scatter_meta(tbl, bucket_of(ccx, ccy, ccz, m.num_buckets),
+                            clane0, fingerprint(ccx, ccy, ccz),
+                            ccx.astype(jnp.uint32), ccy.astype(jnp.uint32),
+                            ccz.astype(jnp.uint32), cw)
 
     def full_path(tbl):
-        return scatter_meta(tbl, bucket_key, lane0, meta_cols, fresh)
+        return scatter_meta(tbl, bucket_key, safe_sub * r + kmax, fpq,
+                            ukx, uky, ukz, fresh)
 
     if fresh_capacity >= n:
         table = full_path(table)
