@@ -109,11 +109,17 @@ class CandidateSet(NamedTuple):
     to ``base_*`` — the query's voxel coords at gather time.  Storing the
     5-bit offset id instead of three absolute voxel-coord planes lets the
     NN winner reconstruct its world point elementwise (no gathers) and cuts
-    the cached bytes per voxel from 13 to 4.  Candidates stay packed
+    the cached bytes per voxel from 13 to 4.
+
+    Layout rule: the query axis N is LAST.  TPU tiles pad the minor axis to
+    128 lanes, so a (V, N, K) cache at K=20 would physically occupy 6.4x
+    its logical bytes and run every selection pass at 16% lane utilization;
+    with N minor (thousands of queries) the cache is dense and reductions
+    over (V, K) ride the cheap sublane direction.  Candidates stay packed
     (4 B/point) so each GN re-selection pass streams ~4x less HBM than
     unpacked f32 planes; unpacking fuses into the distance computation.
     """
-    words: jnp.ndarray   # (V, N, K) uint32
+    words: jnp.ndarray   # (V, K, N) uint32
     rel: jnp.ndarray     # (V, N) int32 in [0, 27)
     base_x: jnp.ndarray  # (N,) int32
     base_y: jnp.ndarray
@@ -363,7 +369,8 @@ def gather_candidates(m: MapState, q: P3, voxel_size: float, max_probes: int,
     fat = m.table[bucket]                                        # (V, N, G*R)
     # A voxel occupies at most one slot of its bucket, so the slot select is
     # a masked SUM over sub-rows (not a sequential where-chain, which XLA
-    # splits into several full-size fusions).
+    # splits into several full-size fusions).  The selected words transpose
+    # to the (V, K, N) cache layout (see CandidateSet).
     words = jnp.zeros(bx.shape + (k,), jnp.uint32)
     anyhit = jnp.zeros(bx.shape, bool)
     for gi in range(g):
@@ -374,17 +381,17 @@ def gather_candidates(m: MapState, q: P3, voxel_size: float, max_probes: int,
                                   jnp.uint32(0))
         anyhit = anyhit | hit
     words = jnp.where(anyhit[..., None], words, jnp.uint32(PACKED_SENTINEL))
-    return CandidateSet(words=words, rel=rel,
+    return CandidateSet(words=jnp.swapaxes(words, 1, 2), rel=rel,
                         base_x=base_x, base_y=base_y, base_z=base_z)
 
 
 def _candidate_points(cand: CandidateSet, voxel_size: float, dtype):
-    """Unpack candidate words -> ((V, N, K) coordinate planes, valid)."""
-    ox, oy, oz = _rel_to_offsets(cand.rel)
+    """Unpack candidate words -> ((V, K, N) coordinate planes, valid)."""
+    ox, oy, oz = _rel_to_offsets(cand.rel[:, None, :])             # (V, 1, N)
     pts = unpack_offsets(cand.words,
-                         (cand.base_x[None, :] + ox)[..., None],
-                         (cand.base_y[None, :] + oy)[..., None],
-                         (cand.base_z[None, :] + oz)[..., None],
+                         cand.base_x[None, None, :] + ox,
+                         cand.base_y[None, None, :] + oy,
+                         cand.base_z[None, None, :] + oz,
                          voxel_size, dtype)
     valid = cand.words != jnp.uint32(PACKED_SENTINEL)
     return pts, valid
@@ -400,25 +407,25 @@ def reduce_candidates(cand: CandidateSet, q: P3, keep: int,
     synthetic sequences this trades ATE for little speed — kept as an
     experimental knob (Config.gn_candidates_per_voxel).
     """
-    v, n, k = cand.words.shape
+    v, k, n = cand.words.shape
     if keep >= k:
         return cand
     pts, valid = _candidate_points(cand, voxel_size, q.x.dtype)
-    dx = pts.x - q.x[None, :, None]
-    dy = pts.y - q.y[None, :, None]
-    dz = pts.z - q.z[None, :, None]
+    dx = pts.x - q.x[None, None, :]
+    dy = pts.y - q.y[None, None, :]
+    dz = pts.z - q.z[None, None, :]
     cur = jnp.where(valid, dx * dx + dy * dy + dz * dz, jnp.inf)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (v, n, k), 2)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (v, k, n), 1)
     outs = []
     for _ in range(keep):
-        best = jnp.min(cur, axis=2, keepdims=True)
-        first = jnp.min(jnp.where(cur == best, lane, k), axis=2, keepdims=True)
+        best = jnp.min(cur, axis=1, keepdims=True)
+        first = jnp.min(jnp.where(cur == best, lane, k), axis=1, keepdims=True)
         pick = lane == first
-        word = jnp.sum(jnp.where(pick, cand.words, jnp.uint32(0)), axis=2)
-        outs.append(jnp.where(jnp.isfinite(best[..., 0]), word,
+        word = jnp.sum(jnp.where(pick, cand.words, jnp.uint32(0)), axis=1)
+        outs.append(jnp.where(jnp.isfinite(best[:, 0, :]), word,
                               jnp.uint32(PACKED_SENTINEL)))
         cur = jnp.where(pick, jnp.inf, cur)
-    return cand._replace(words=jnp.stack(outs, axis=2))
+    return cand._replace(words=jnp.stack(outs, axis=1))
 
 
 def nn_from_candidates(cand: CandidateSet, q: P3, query_mask,
@@ -437,25 +444,25 @@ def nn_from_candidates(cand: CandidateSet, q: P3, query_mask,
 
     Returns (P3 neighbors (N,), dist (N,)); inf distance when no candidate.
     """
-    v, n, k = cand.words.shape
+    v, k, n = cand.words.shape
     assert k <= 32, "packed argmin key holds a 5-bit entry lane"
     lo = jnp.uint32(0x3FF)                                        # 10 bits
     pts, valid = _candidate_points(cand, voxel_size, q.x.dtype)
-    dx = pts.x - q.x[None, :, None]
-    dy = pts.y - q.y[None, :, None]
-    dz = pts.z - q.z[None, :, None]
+    dx = pts.x - q.x[None, None, :]
+    dy = pts.y - q.y[None, None, :]
+    dz = pts.z - q.z[None, None, :]
     d2 = dx * dx + dy * dy + dz * dz
 
-    lane = jax.lax.broadcasted_iota(jnp.uint32, (v, n, k), 2)
-    tag = (cand.rel.astype(jnp.uint32)[..., None] << 5) | lane
+    lane = jax.lax.broadcasted_iota(jnp.uint32, (v, k, n), 1)
+    tag = (cand.rel.astype(jnp.uint32)[:, None, :] << 5) | lane
     key = (jax.lax.bitcast_convert_type(d2, jnp.uint32) & ~lo) | tag
-    key = jnp.where(valid & query_mask[None, :, None], key,
+    key = jnp.where(valid & query_mask[None, None, :], key,
                     jnp.uint32(0xFFFFFFFF))
-    best = jnp.min(key, axis=(0, 2))                              # (N,)
+    best = jnp.min(key, axis=(0, 1))                              # (N,)
 
     # (rel, lane) is unique per query, so exactly one candidate matches.
-    pick = key == best[None, :, None]
-    word = jnp.sum(jnp.where(pick, cand.words, jnp.uint32(0)), axis=(0, 2))
+    pick = key == best[None, None, :]
+    word = jnp.sum(jnp.where(pick, cand.words, jnp.uint32(0)), axis=(0, 1))
     wx, wy, wz = _rel_to_offsets(((best >> 5) & jnp.uint32(31)).astype(jnp.int32))
     nearest = unpack_offsets(word, cand.base_x + wx, cand.base_y + wy,
                              cand.base_z + wz, voxel_size, q.x.dtype)
