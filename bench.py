@@ -116,6 +116,34 @@ def main():
 
     ate = ate_rmse(seq["gt_poses"], list(poses), align=False)
 
+    # Batched multi-bag DP on the same chip (BASELINE config 3): B copies of
+    # the sequence advance lock-step in one vmapped scan; aggregate fps =
+    # B * frames / time.
+    batched_fps = None
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    if batch > 1:
+        from kinematic_icp_tpu.offline import (init_batched_state,
+                                               make_batched_sequence_runner)
+        bargs = tuple(
+            jnp.asarray(np.broadcast_to(np.asarray(a)[:, None],
+                                        (a.shape[0], batch) + a.shape[1:]))
+            for a in (pts, ts, mask, has_ts, rels))
+        brunner = make_batched_sequence_runner(cfg)
+        bstate = init_batched_state(cfg, batch)
+        _, bposes = brunner(bstate, bargs[0], bargs[1], bargs[2], bargs[3],
+                            ext, bargs[4])
+        np.asarray(bposes)
+        btimes = []
+        for _ in range(BENCH_RUNS):
+            bstate = init_batched_state(cfg, batch)
+            jax.tree.map(lambda x: x.block_until_ready(), bstate)
+            t0 = time.time()
+            _, bposes = brunner(bstate, bargs[0], bargs[1], bargs[2],
+                                bargs[3], ext, bargs[4])
+            np.asarray(bposes)
+            btimes.append(time.time() - t0)
+        batched_fps = batch * NUM_FRAMES / min(btimes)
+
     # CPU oracle baseline (reference algorithm, float64, dict map).
     oracle = OracleKinematicICP(cfg)
     t0 = time.time()
@@ -146,6 +174,15 @@ def main():
             "oracle_frames_timed": done,
         },
     }
+    if batched_fps is not None:
+        # Same-chip DP mostly shares one HBM pipe (the per-frame passes are
+        # bandwidth-bound), so the aggregate gain over a single sequence is
+        # modest; DP scales across chips, not within one (configs 4-5).
+        result["details"]["batched_dp"] = {
+            "batch": batch,
+            "aggregate_frames_per_sec": round(batched_fps, 1),
+            "speedup_vs_single_sequence": round(batched_fps / fps, 3),
+        }
     print(json.dumps(result))
 
 

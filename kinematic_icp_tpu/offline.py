@@ -51,6 +51,40 @@ def make_sequence_runner(config: Config):
     return jax.jit(run, donate_argnums=(0,))
 
 
+@functools.lru_cache(maxsize=8)
+def make_batched_sequence_runner(config: Config):
+    """One jitted scan advancing B independent sequences in lock-step.
+
+    The multi-bag answer to the reference OfflineNode's one-bag-at-CPU-speed
+    loop (BASELINE config 3): data parallelism over sequences via vmap, the
+    whole batch and frame loop in a single dispatch.
+
+    Inputs: state pytree with a leading batch axis (see
+    ``init_batched_state``); pts (F, B, N, 3), ts (F, B, N), mask (F, B, N),
+    has_ts (F, B), extrinsic (4, 4) shared, rels (F, B, 4, 4).
+    Returns (final_state, poses (F, B, 4, 4)).
+    """
+
+    def run(state, pts, ts, mask, has_ts, extrinsic, rels):
+        def step_one(s, p, t, mk, ht, rel):
+            return _gated_step(s, (p, t, mk, ht, rel), config, extrinsic)
+
+        def body(carry, xs):
+            with jax.default_matmul_precision("highest"):
+                return jax.vmap(step_one)(carry, *xs)
+
+        return jax.lax.scan(body, state, (pts, ts, mask, has_ts, rels))
+
+    return jax.jit(run, donate_argnums=(0,))
+
+
+def init_batched_state(config: Config, batch: int, dtype=jnp.float32):
+    """Replicate a fresh odometry state across a leading batch axis."""
+    state = pipeline.init_state(config, dtype)
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (batch,) + x.shape).copy(), state)
+
+
 def pad_sequence(frames, rel_odometry, config: Config, timestamps=None):
     """Pack ragged frames into device-ready (F, N, ...) arrays.
 

@@ -99,3 +99,27 @@ class TestShardedStep:
         runner.step([pts], [np.eye(4)], [ts])  # stationary
         np.testing.assert_allclose(np.asarray(runner.state.pose), pose_before,
                                    atol=0)
+
+
+class TestBatchedSequenceRunner:
+    """The single-dispatch vmapped scan (BASELINE config 3)."""
+
+    def test_matches_single_device(self, sequences):
+        from kinematic_icp_tpu.offline import (init_batched_state,
+                                               make_batched_sequence_runner,
+                                               pad_sequence)
+        b = len(sequences)
+        packed = [pad_sequence(s["frames"], s["rel_odometry"], CFG)
+                  for s in sequences]
+        # (F, B, ...) stacking
+        pts, ts, mask, has_ts, rels = (
+            jnp.asarray(np.stack([p[i] for p in packed], axis=1))
+            for i in range(5))
+        runner = make_batched_sequence_runner(CFG)
+        state = init_batched_state(CFG, b)
+        _, poses = runner(state, pts, ts, mask, has_ts, jnp.eye(4), rels)
+        poses = np.asarray(poses, np.float64)       # (F, B, 4, 4)
+        for i, seq in enumerate(sequences):
+            ref = run_single_device(seq)
+            ate = ate_rmse(ref, poses[:, i], align=False)
+            assert ate < 5e-3, f"seq {i}: batched vs single ATE {ate:.5f}"
