@@ -60,7 +60,8 @@ def set_pose(state: OdometryState, pose, config: Config) -> OdometryState:
 
 def register_frame(state: OdometryState, points, timestamps, mask,
                    has_timestamps, lidar_to_base, relative_odometry,
-                   config: Config) -> tuple[OdometryState, FrameOutputs]:
+                   config: Config,
+                   active=None) -> tuple[OdometryState, FrameOutputs]:
     """One odometry step (KinematicICP.cpp:48-85).
 
     Args:
@@ -73,6 +74,11 @@ def register_frame(state: OdometryState, points, timestamps, mask,
       lidar_to_base: (4, 4) static extrinsic.
       relative_odometry: (4, 4) wheel odometry delta in the base frame.
       config: static configuration (one jit specialization per value).
+      active: optional scalar bool — the caller's stationary gate
+        (LidarOdometryServer.cpp:202).  When False the returned state is
+        byte-identical to the input.  Folding the gate in here lets the map
+        update mask its writes instead of the caller selecting between two
+        full map tables after the fact.
     """
     dtype = state.pose.dtype
     # Host boundary: (N, 3) -> planar SoA once per frame.
@@ -133,7 +139,14 @@ def register_frame(state: OdometryState, points, timestamps, mask,
 
     new_map = hashmap.update(
         state.map, frame_ds, frame_ds_mask, new_pose,
-        config.voxel_size, config.max_range, config.max_probes)
+        config.voxel_size, config.max_range, config.max_probes,
+        enable=active)
+
+    if active is not None:
+        new_pose = jnp.where(active, new_pose, state.pose)
+        new_threshold = jax.tree.map(
+            lambda a, b: jnp.where(active, a, b), new_threshold,
+            state.threshold)
 
     new_state = OdometryState(pose=new_pose, map=new_map, threshold=new_threshold)
     outputs = FrameOutputs(

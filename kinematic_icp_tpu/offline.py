@@ -26,12 +26,12 @@ from .utils.compilation_cache import enable_compilation_cache
 
 def _gated_step(state, frame, config: Config, extrinsic):
     pts, ts, mask, has_ts, rel = frame
-    new_state, out = pipeline.register_frame(
-        state, pts, ts, mask, has_ts, extrinsic, rel, config)
-    # Stationary gate on device (LidarOdometryServer.cpp:202).
+    # Stationary gate on device (LidarOdometryServer.cpp:202); folded into
+    # register_frame so the map update masks its writes instead of a
+    # full-table select between new and old state.
     active = jnp.linalg.norm(se3.se3_log(rel)) > 1e-3
-    keep = lambda new, old: jnp.where(active, new, old)
-    state = jax.tree.map(keep, new_state, state)
+    state, out = pipeline.register_frame(
+        state, pts, ts, mask, has_ts, extrinsic, rel, config, active=active)
     return state, state.pose
 
 

@@ -640,12 +640,18 @@ def insert(m: MapState, p: P3, mask, voxel_size: float, max_probes: int,
     return MapState(table=table, bucket_slots=g)
 
 
-def evict_far(m: MapState, origin, max_distance: float, voxel_size: float) -> MapState:
+def evict_far(m: MapState, origin, max_distance: float, voxel_size: float,
+              enable=None) -> MapState:
     """RemovePointsFarFromLocation: drop blocks whose first point is far.
 
     Matches v1.2.0: the test uses only ``points.front()`` of each block and a
     strict ``> max_distance^2`` comparison.  Killed blocks reset their packed
     entries to the sentinel so slot reuse never exposes stale points.
+
+    ``enable`` (scalar bool, optional) gates the whole eviction: folding the
+    caller's stationary gate into the kill mask costs nothing here, whereas
+    a select over the new-vs-old table after the fact re-streams the full
+    table an extra time per frame.
     """
     k, g = m.block_size, m.bucket_slots
     r = k + _META_LANES
@@ -659,6 +665,8 @@ def evict_far(m: MapState, origin, max_distance: float, voxel_size: float) -> Ma
         d2 = dx * dx + dy * dy + dz * dz
         kills.append((sub[:, k] != 0) & (d2 > max_distance * max_distance))
     kill = jnp.stack(kills, axis=-1)                              # (B, G)
+    if enable is not None:
+        kill = kill & enable
 
     lane_in_slot = jnp.arange(g * r, dtype=jnp.int32) % r
     reset_row = jnp.where(lane_in_slot < k, jnp.uint32(PACKED_SENTINEL),
@@ -669,8 +677,15 @@ def evict_far(m: MapState, origin, max_distance: float, voxel_size: float) -> Ma
 
 
 def update(m: MapState, p: P3, mask, pose, voxel_size: float,
-           max_distance: float, max_probes: int) -> MapState:
-    """VoxelHashMap::Update: transform by pose, insert, evict far blocks."""
+           max_distance: float, max_probes: int, enable=None) -> MapState:
+    """VoxelHashMap::Update: transform by pose, insert, evict far blocks.
+
+    ``enable`` (scalar bool, optional): when False the map is returned
+    byte-identical (the caller's stationary gate, folded into the insert
+    mask and the eviction kill mask so no full-table select is needed).
+    """
     world = transform(pose, p)
+    if enable is not None:
+        mask = mask & enable
     m = insert(m, world, mask, voxel_size, max_probes)
-    return evict_far(m, pose[:3, 3], max_distance, voxel_size)
+    return evict_far(m, pose[:3, 3], max_distance, voxel_size, enable=enable)

@@ -134,13 +134,16 @@ def _sharded_robot_motion(local_map, source, source_mask, last_pose,
 def sharded_register_frame(state: OdometryState, points, timestamps, mask,
                            has_timestamps, lidar_to_base, relative_odometry,
                            config: Config, num_shards: int,
-                           axis_name: str = "map"):
+                           axis_name: str = "map", active=None):
     """One odometry step on a map shard (call inside shard_map, per sequence).
 
     ``state.map`` holds this shard's slots (config.map_capacity // num_shards);
     every other input/output is replicated across the map axis.  Preprocessing
     and downsampling are recomputed identically on each shard (cheap,
     deterministic) — only association/reduction/insert are shard-aware.
+    ``active`` (scalar bool, optional) is the stationary gate: when False the
+    returned state is byte-identical to the input (write-masked map update,
+    no full-table select).
     """
     dtype = state.pose.dtype
     p = P3.from_array(points).astype(dtype)
@@ -185,10 +188,19 @@ def sharded_register_frame(state: OdometryState, points, timestamps, mask,
     bx, by, bz = voxel.voxel_coords_planar(world_ds, config.voxel_size)
     owners = _owner_of(bx, by, bz, num_shards)
     my = owners == jax.lax.axis_index(axis_name).astype(jnp.uint32)
-    new_map = hashmap.insert(state.map, world_ds, frame_ds_mask & my,
+    ins_mask = frame_ds_mask & my
+    if active is not None:
+        ins_mask = ins_mask & active
+    new_map = hashmap.insert(state.map, world_ds, ins_mask,
                              config.voxel_size, config.max_probes)
     new_map = hashmap.evict_far(new_map, new_pose[:3, 3], config.max_range,
-                                config.voxel_size)
+                                config.voxel_size, enable=active)
+
+    if active is not None:
+        new_pose = jnp.where(active, new_pose, state.pose)
+        new_threshold = jax.tree.map(
+            lambda a, b: jnp.where(active, a, b), new_threshold,
+            state.threshold)
 
     new_state = OdometryState(pose=new_pose, map=new_map,
                               threshold=new_threshold)
@@ -251,16 +263,15 @@ def make_sharded_step(config: Config, mesh, donate: bool = True):
     cfg_local = config.replace(map_capacity=config.map_capacity // m)
 
     def seq_step(state, pts, ts, mask, has_ts, ext, rel, active):
-        new_state, out = sharded_register_frame(
-            state, pts, ts, mask, has_ts, ext, rel,
-            config=cfg_local, num_shards=m)
         # Per-sequence stationary gate (LidarOdometryServer.cpp:202): an
         # inactive sequence keeps its previous state (compute is wasted for
-        # it, but the batch stays lock-step with static shapes).
-        keep = lambda new, old: jnp.where(active, new, old)
-        gated_state = jax.tree.map(keep, new_state, state)
-        out = out._replace(pose=gated_state.pose)
-        return gated_state, out
+        # it, but the batch stays lock-step with static shapes).  The gate
+        # is folded into the step so the map update masks its writes.
+        new_state, out = sharded_register_frame(
+            state, pts, ts, mask, has_ts, ext, rel,
+            config=cfg_local, num_shards=m, active=active)
+        out = out._replace(pose=new_state.pose)
+        return new_state, out
 
     def local_batch_step(state, pts, ts, mask, has_ts, ext, rel, active):
         # Inside shard_map: leading dim = local batch slice; map shard local.
