@@ -92,3 +92,48 @@ class TestPipeline:
             jnp.asarray(mask), jnp.bool_(False), jnp.eye(4), jnp.eye(4), cfg)
         got = np.asarray(out.frame_mask[:2])
         np.testing.assert_array_equal(got, [False, True])
+
+
+class TestDeterminism:
+    """Pure-functional steps must be bit-reproducible (SURVEY section 5.2:
+    the TBB reference tolerates nondeterministic reduction order; the TPU
+    build designs races out entirely, so we can and do demand exactness)."""
+
+    def test_register_frame_bitwise_reproducible(self):
+        frame = make_frame()
+        rel = np.eye(4, dtype=np.float32)
+        rel[0, 3] = 0.3
+        runs = []
+        for _ in range(2):
+            state = pipeline.init_state(CFG)
+            for _ in range(3):
+                state, out = run_step(state, rel=rel, frame=frame)
+            runs.append(state)
+        a, b = runs
+        np.testing.assert_array_equal(np.asarray(a.pose), np.asarray(b.pose))
+        np.testing.assert_array_equal(np.asarray(a.map.table),
+                                      np.asarray(b.map.table))
+        np.testing.assert_array_equal(np.asarray(a.threshold.odom_sse),
+                                      np.asarray(b.threshold.odom_sse))
+
+    def test_permutation_invariant_normal_equations(self):
+        """The 2x2 normal-equation sums must not depend on point order."""
+        import jax
+        from kinematic_icp_tpu.ops import registration
+        from kinematic_icp_tpu.ops.points import P3
+        n = 512
+        src = RNG.uniform(-5, 5, size=(n, 3)).astype(np.float32)
+        tgt = src + RNG.normal(0, 0.05, size=(n, 3)).astype(np.float32)
+        mask = RNG.uniform(size=n) < 0.8
+        pose = jnp.eye(4)
+        perm = RNG.permutation(n)
+        with jax.default_matmul_precision("highest"):
+            s1 = registration.partial_normal_equations(
+                P3.from_array(jnp.asarray(src)), P3.from_array(jnp.asarray(tgt)),
+                jnp.asarray(mask), pose)
+            s2 = registration.partial_normal_equations(
+                P3.from_array(jnp.asarray(src[perm])),
+                P3.from_array(jnp.asarray(tgt[perm])),
+                jnp.asarray(mask[perm]), pose)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   rtol=1e-5, atol=1e-4)
