@@ -219,8 +219,15 @@ def compute_robot_motion(m: hashmap.MapState, source: P3, source_mask,
         )
         return pose, targets, corr_mask, it + 1, converged
 
+    # The loop body runs at least once when iterations are allowed at all
+    # (converged starts False); hoisting the first iteration out of the
+    # while_loop saves one loop trip's fixed overhead and lets XLA schedule
+    # it together with the initial association and regularizer.
+    carry = (guess, targets, corr_mask, jnp.int32(0), jnp.bool_(False))
+    if max_num_iterations >= 1:
+        carry = body_fn(carry)
     pose, targets, corr_mask, iters, _ = jax.lax.while_loop(
-        cond_fn, body_fn, (guess, targets, corr_mask, jnp.int32(0), jnp.bool_(False)))
+        cond_fn, body_fn, carry)
 
     debug = RegistrationDebug(
         iterations=iters,
