@@ -553,21 +553,46 @@ def insert(m: MapState, p: P3, mask, voxel_size: float, max_probes: int,
     uky = cy.astype(jnp.uint32)
     ukz = cz.astype(jnp.uint32)
     fat = m.table[bucket_key]                                     # (n, G*R)
-    found = jnp.zeros((n,), bool)
-    found_slot = jnp.zeros((n,), jnp.int32)
-    base = jnp.zeros((n,), jnp.int32)
-    win_empty = []
-    for gi in range(g):
-        sub = fat[..., gi * r:(gi + 1) * r]
-        hit = ((sub[..., kmax] == fpq) & (sub[..., kmax + 1] == ukx)
-               & (sub[..., kmax + 2] == uky) & (sub[..., kmax + 3] == ukz)
-               & valid_q)
-        fill = jnp.sum((sub[..., :kmax] != jnp.uint32(PACKED_SENTINEL))
-                       .astype(jnp.int32), axis=-1)
-        base = base + jnp.where(hit, fill, 0)   # at most one slot matches
-        found_slot = found_slot + jnp.where(hit, gi, 0)
-        found = found | hit
-        win_empty.append(sub[..., kmax] == 0)
+    # Per-slot probe reductions as ONE tiny MXU matmul.  Extracting the 16
+    # meta lanes into (n,) vectors (the naive formulation) is a cross-lane
+    # shuffle XLA lowers to a ~60 us strided-slice loop; instead every lane
+    # contributes to a per-lane predicate code and a (G*R, 2G) selector
+    # contracts the lane dimension on the MXU:
+    #   word lanes  -> 1 if stored entry        (column block 0: fill)
+    #   meta lanes  -> 1 if equal to the query  (column block 1: match)
+    #   fp lane     -> +256 if slot empty       (rides column block 1)
+    # All values are small exact integers, so bf16 operands with f32
+    # accumulation are exact.
+    lane = jnp.arange(g * r, dtype=jnp.int32)                     # (G*R,)
+    lane_mod = lane % r
+    qtgt = jnp.where(
+        lane_mod[None, :] == kmax, fpq[:, None],
+        jnp.where(lane_mod[None, :] == kmax + 1, ukx[:, None],
+                  jnp.where(lane_mod[None, :] == kmax + 2, uky[:, None],
+                            ukz[:, None])))                       # (n, G*R)
+    is_word = lane_mod < kmax
+    is_meta = ~is_word
+    is_fp = lane_mod == kmax
+    code = jnp.where(
+        is_word[None, :],
+        (fat != jnp.uint32(PACKED_SENTINEL)).astype(jnp.bfloat16),
+        (fat == qtgt).astype(jnp.bfloat16)
+        + jnp.where(is_fp[None, :] & (fat == 0), jnp.bfloat16(256),
+                    jnp.bfloat16(0)))                             # (n, G*R)
+    slot_of_lane = lane // r                                      # (G*R,)
+    gsel = jnp.arange(g, dtype=jnp.int32)
+    sel = jnp.concatenate([
+        (slot_of_lane[:, None] == gsel[None, :]) & is_word[:, None],
+        (slot_of_lane[:, None] == gsel[None, :]) & is_meta[:, None],
+    ], axis=1).astype(jnp.bfloat16)                               # (G*R, 2G)
+    s = jnp.dot(code, sel, preferred_element_type=jnp.float32)    # (n, 2G)
+    fills = s[:, :g].astype(jnp.int32)
+    meta_s = s[:, g:].astype(jnp.int32)
+    hit_g = (meta_s == _META_LANES) & valid_q[:, None]            # (n, G)
+    found = jnp.any(hit_g, axis=1)
+    found_slot = jnp.sum(jnp.where(hit_g, gsel[None, :], 0), axis=1)
+    base = jnp.sum(jnp.where(hit_g, fills, 0), axis=1)
+    win_empty = [meta_s[:, gi] >= 256 for gi in range(g)]
 
     # --- segmented counters ------------------------------------------------
     iota = jnp.arange(n, dtype=jnp.int32)
