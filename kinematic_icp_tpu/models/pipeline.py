@@ -106,7 +106,8 @@ def register_frame(state: OdometryState, points, timestamps, mask,
     # Double voxel downsample (KinematicICP.cpp:38-44, 61-62).
     source, source_mask, frame_ds, frame_ds_mask = voxel.double_downsample(
         frame_in_base, frame_mask, config.voxel_size,
-        max_downsampled=config.max_downsampled, max_source=config.max_source)
+        max_downsampled=config.max_downsampled, max_source=config.max_source,
+        max_extent=2.0 * config.max_range)
 
     # Adaptive correspondence threshold tau (CorrespondenceThreshold.cpp:49-56).
     tau = threshold.compute_threshold(
@@ -140,7 +141,7 @@ def register_frame(state: OdometryState, points, timestamps, mask,
     new_map = hashmap.update(
         state.map, frame_ds, frame_ds_mask, new_pose,
         config.voxel_size, config.max_range, config.max_probes,
-        enable=active)
+        enable=active, max_extent=2.0 * config.max_range)
 
     if active is not None:
         new_pose = jnp.where(active, new_pose, state.pose)

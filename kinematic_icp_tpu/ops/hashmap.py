@@ -55,7 +55,8 @@ import jax
 import jax.numpy as jnp
 
 from .points import P3, transform
-from .voxel import SENTINEL, spatial_hash_planar
+from .voxel import (PACKED_KEY_SENTINEL, SENTINEL, pack_rebased_keys,
+                    packable_span, spatial_hash_planar)
 
 #: packed-point sentinel marking an unused block entry
 PACKED_SENTINEL = 0xFFFFFFFF
@@ -483,7 +484,8 @@ def nearest_neighbor(m: MapState, q: P3, query_mask, voxel_size: float,
 
 
 def insert(m: MapState, p: P3, mask, voxel_size: float, max_probes: int,
-           fresh_capacity: int | None = None) -> MapState:
+           fresh_capacity: int | None = None,
+           max_extent: float | None = None) -> MapState:
     """AddPoints: insert world-frame points, first-come-kept per voxel block.
 
     Points are grouped by (bucket, voxel) with one stable lexicographic
@@ -526,18 +528,41 @@ def insert(m: MapState, p: P3, mask, voxel_size: float, max_probes: int,
         fresh_capacity = max(128, n // 16)
     fresh_capacity = min(fresh_capacity, n)
     inv = 1.0 / voxel_size
-    cx = jnp.where(mask, jnp.floor(p.x * inv).astype(jnp.int32), SENTINEL)
-    cy = jnp.where(mask, jnp.floor(p.y * inv).astype(jnp.int32), SENTINEL)
-    cz = jnp.where(mask, jnp.floor(p.z * inv).astype(jnp.int32), SENTINEL)
-    bucket_key = bucket_of(cx, cy, cz, m.num_buckets)
+    cx = jnp.floor(p.x * inv).astype(jnp.int32)
+    cy = jnp.floor(p.y * inv).astype(jnp.int32)
+    cz = jnp.floor(p.z * inv).astype(jnp.int32)
 
-    bucket_key, cx, cy, cz, sx, sy, sz = jax.lax.sort(
-        (bucket_key, cx, cy, cz, p.x, p.y, p.z), num_keys=4, is_stable=True)
-    svalid = cx != SENTINEL
-
-    head = ((cx != jnp.roll(cx, 1)) | (cy != jnp.roll(cy, 1))
-            | (cz != jnp.roll(cz, 1)))
-    head = head.at[0].set(True) & svalid
+    if packable_span(voxel_size, max_extent):
+        # One packed u32 voxel key (rebased 10-bit coords; see voxel.py):
+        # sorts (bucket, voxel) with 2 keys instead of 4.
+        big = jnp.int32(1 << 30)
+        mnx = jnp.min(jnp.where(mask, cx, big))
+        mny = jnp.min(jnp.where(mask, cy, big))
+        mnz = jnp.min(jnp.where(mask, cz, big))
+        vkey = pack_rebased_keys(cx, cy, cz, mask)
+        bucket_key = bucket_of(cx, cy, cz, m.num_buckets)
+        bucket_key, vkey, sx, sy, sz = jax.lax.sort(
+            (bucket_key, vkey, p.x, p.y, p.z), num_keys=2, is_stable=True)
+        svalid = vkey != jnp.uint32(PACKED_KEY_SENTINEL)
+        cx = ((vkey >> 20) & jnp.uint32(1023)).astype(jnp.int32) + mnx
+        cy = ((vkey >> 10) & jnp.uint32(1023)).astype(jnp.int32) + mny
+        cz = (vkey & jnp.uint32(1023)).astype(jnp.int32) + mnz
+        cx = jnp.where(svalid, cx, SENTINEL)
+        cy = jnp.where(svalid, cy, SENTINEL)
+        cz = jnp.where(svalid, cz, SENTINEL)
+        head = (vkey != jnp.roll(vkey, 1)).at[0].set(True) & svalid
+    else:
+        cx = jnp.where(mask, cx, SENTINEL)
+        cy = jnp.where(mask, cy, SENTINEL)
+        cz = jnp.where(mask, cz, SENTINEL)
+        bucket_key = bucket_of(cx, cy, cz, m.num_buckets)
+        bucket_key, cx, cy, cz, sx, sy, sz = jax.lax.sort(
+            (bucket_key, cx, cy, cz, p.x, p.y, p.z), num_keys=4,
+            is_stable=True)
+        svalid = cx != SENTINEL
+        head = ((cx != jnp.roll(cx, 1)) | (cy != jnp.roll(cy, 1))
+                | (cz != jnp.roll(cz, 1)))
+        head = head.at[0].set(True) & svalid
     run_start = (bucket_key != jnp.roll(bucket_key, 1)).at[0].set(True)
 
     # --- probe: every point fetches its own bucket row --------------------
@@ -702,7 +727,8 @@ def evict_far(m: MapState, origin, max_distance: float, voxel_size: float,
 
 
 def update(m: MapState, p: P3, mask, pose, voxel_size: float,
-           max_distance: float, max_probes: int, enable=None) -> MapState:
+           max_distance: float, max_probes: int, enable=None,
+           max_extent: float | None = None) -> MapState:
     """VoxelHashMap::Update: transform by pose, insert, evict far blocks.
 
     ``enable`` (scalar bool, optional): when False the map is returned
@@ -712,5 +738,6 @@ def update(m: MapState, p: P3, mask, pose, voxel_size: float,
     world = transform(pose, p)
     if enable is not None:
         mask = mask & enable
-    m = insert(m, world, mask, voxel_size, max_probes)
+    m = insert(m, world, mask, voxel_size, max_probes,
+               max_extent=max_extent)
     return evict_far(m, pose[:3, 3], max_distance, voxel_size, enable=enable)

@@ -51,7 +51,43 @@ def spatial_hash(coords):
     return spatial_hash_planar(coords[..., 0], coords[..., 1], coords[..., 2])
 
 
-def voxel_downsample(p: P3, mask, voxel_size: float, out_size: int):
+#: packed relative-coordinate sentinel (all-ones sorts last)
+PACKED_KEY_SENTINEL = 0xFFFFFFFF
+
+
+def pack_rebased_keys(cx, cy, cz, mask):
+    """Voxel coord planes -> ONE u32 sort key (10 bits/axis, rebased).
+
+    A frame's in-range points span at most ~2*max_range/voxel_size cells
+    per axis regardless of where the robot has drifted, so coords rebased
+    to the frame's per-axis minimum fit 10 bits whenever the caller's
+    static bound allows (see ``packable_span``).  One u32 key instead of
+    three i32 keys makes the grouping sorts ~1.7x cheaper.  Invalid points
+    pack to an all-ones sentinel that sorts last.  Equal keys <=> equal
+    voxels (rebasing is a per-axis constant shift).
+    """
+    big = jnp.int32(1 << 30)
+    mx = jnp.min(jnp.where(mask, cx, big))
+    my = jnp.min(jnp.where(mask, cy, big))
+    mz = jnp.min(jnp.where(mask, cz, big))
+    rx, ry, rz = cx - mx, cy - my, cz - mz
+    # Defensive: a point past the caller's static extent bound drops for
+    # this frame instead of corrupting the bit-packed grouping.
+    mask = mask & (rx < 1024) & (ry < 1024) & (rz < 1024)
+    key = ((rx.astype(jnp.uint32) << 20) | (ry.astype(jnp.uint32) << 10)
+           | rz.astype(jnp.uint32))
+    return jnp.where(mask, key, jnp.uint32(PACKED_KEY_SENTINEL))
+
+
+def packable_span(voxel_size: float, max_extent: float | None) -> bool:
+    """Static check: does a frame's coord span fit 10 bits per axis?"""
+    if max_extent is None:
+        return False
+    return max_extent / voxel_size + 8 < 1024
+
+
+def voxel_downsample(p: P3, mask, voxel_size: float, out_size: int,
+                     max_extent: float | None = None):
     """Keep the first (in input order) point of each occupied voxel.
 
     Args:
@@ -59,6 +95,10 @@ def voxel_downsample(p: P3, mask, voxel_size: float, out_size: int):
       mask: (N,) bool validity.
       voxel_size: grid pitch.
       out_size: static output capacity.
+      max_extent: optional static bound on the spatial extent of the valid
+        points (e.g. 2 * max_range for a range-filtered scan); when the
+        implied coord span fits 10 bits/axis the grouping sort runs on one
+        packed u32 key instead of three i32 keys.
 
     Returns (P3 of (out_size,), out_mask (out_size,)).  Output order is
     voxel-lexicographic (the reference's robin_map iteration order is
@@ -66,18 +106,24 @@ def voxel_downsample(p: P3, mask, voxel_size: float, out_size: int):
     Voxels beyond ``out_size`` are dropped (choose capacities generously).
     """
     cx, cy, cz = voxel_coords_planar(p, voxel_size)
-    cx = jnp.where(mask, cx, SENTINEL)
-    cy = jnp.where(mask, cy, SENTINEL)
-    cz = jnp.where(mask, cz, SENTINEL)
 
-    # Lexicographic stable sort; stability keeps the first input point at
-    # the head of each equal-key run ("first point wins").
-    cx, cy, cz, sx, sy, sz = jax.lax.sort(
-        (cx, cy, cz, p.x, p.y, p.z), num_keys=3, is_stable=True)
-
-    valid = cx != SENTINEL
-    head = ((cx != jnp.roll(cx, 1)) | (cy != jnp.roll(cy, 1))
-            | (cz != jnp.roll(cz, 1)))
+    # Stable sort; stability keeps the first input point at the head of
+    # each equal-key run ("first point wins").
+    if packable_span(voxel_size, max_extent):
+        key = pack_rebased_keys(cx, cy, cz, mask)
+        key, sx, sy, sz = jax.lax.sort(
+            (key, p.x, p.y, p.z), num_keys=1, is_stable=True)
+        valid = key != jnp.uint32(PACKED_KEY_SENTINEL)
+        head = key != jnp.roll(key, 1)
+    else:
+        cx = jnp.where(mask, cx, SENTINEL)
+        cy = jnp.where(mask, cy, SENTINEL)
+        cz = jnp.where(mask, cz, SENTINEL)
+        cx, cy, cz, sx, sy, sz = jax.lax.sort(
+            (cx, cy, cz, p.x, p.y, p.z), num_keys=3, is_stable=True)
+        valid = cx != SENTINEL
+        head = ((cx != jnp.roll(cx, 1)) | (cy != jnp.roll(cy, 1))
+                | (cz != jnp.roll(cz, 1)))
     head = head.at[0].set(True) & valid
 
     # Compact heads to the front with one more sort (element scatters cost
@@ -98,7 +144,8 @@ def voxel_downsample(p: P3, mask, voxel_size: float, out_size: int):
 
 
 def double_downsample(p: P3, mask, voxel_size: float, *,
-                      max_downsampled: int, max_source: int):
+                      max_downsampled: int, max_source: int,
+                      max_extent: float | None = None):
     """KISS-ICP's double downsample (reference KinematicICP.cpp:38-44).
 
     Returns (source, source_mask, frame_downsample, frame_downsample_mask):
@@ -106,7 +153,8 @@ def double_downsample(p: P3, mask, voxel_size: float, *,
     1.5 * voxel_size (of frame_downsample) feeds the ICP.
     """
     frame_ds, frame_ds_mask = voxel_downsample(
-        p, mask, voxel_size * 0.5, max_downsampled)
+        p, mask, voxel_size * 0.5, max_downsampled, max_extent=max_extent)
     source, source_mask = voxel_downsample(
-        frame_ds, frame_ds_mask, voxel_size * 1.5, max_source)
+        frame_ds, frame_ds_mask, voxel_size * 1.5, max_source,
+        max_extent=max_extent)
     return source, source_mask, frame_ds, frame_ds_mask

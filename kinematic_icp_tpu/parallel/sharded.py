@@ -165,7 +165,8 @@ def sharded_register_frame(state: OdometryState, points, timestamps, mask,
     frame_in_base = transform(lidar_to_base, frame)
     source, source_mask, frame_ds, frame_ds_mask = voxel.double_downsample(
         frame_in_base, frame_mask, config.voxel_size,
-        max_downsampled=config.max_downsampled, max_source=config.max_source)
+        max_downsampled=config.max_downsampled, max_source=config.max_source,
+        max_extent=2.0 * config.max_range)
 
     tau = threshold.compute_threshold(
         state.threshold,
@@ -192,7 +193,8 @@ def sharded_register_frame(state: OdometryState, points, timestamps, mask,
     if active is not None:
         ins_mask = ins_mask & active
     new_map = hashmap.insert(state.map, world_ds, ins_mask,
-                             config.voxel_size, config.max_probes)
+                             config.voxel_size, config.max_probes,
+                             max_extent=2.0 * config.max_range)
     new_map = hashmap.evict_far(new_map, new_pose[:3, 3], config.max_range,
                                 config.voxel_size, enable=active)
 
