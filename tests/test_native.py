@@ -71,3 +71,68 @@ class TestNativeExtraction:
         pts = RNG.normal(size=(100, 3)).astype(np.float32)
         msg = PointCloud2.from_xyz(pts)
         np.testing.assert_array_equal(msg.xyz(), pts)
+
+
+# ----------------------------------------------------------------------
+# Native CPU baseline (native/kicp_baseline.cpp): the compiled reference-
+# algorithm implementation used as the honest bench denominator.  It must
+# track the Python float64 oracle to machine precision — both implement the
+# identical control flow (reference KinematicICP.cpp:48-85 semantics) in
+# float64 with insertion-order downsampling.
+# ----------------------------------------------------------------------
+
+from kinematic_icp_tpu import Config, baseline_native
+from kinematic_icp_tpu.oracle import OracleKinematicICP
+from kinematic_icp_tpu.oracle.reference import se3_log
+from kinematic_icp_tpu.utils import synthetic
+
+needs_baseline = pytest.mark.skipif(
+    not baseline_native.available(), reason="baseline binary not built")
+
+
+@needs_baseline
+class TestNativeBaseline:
+    def _oracle_poses(self, cfg, seq, gate=True):
+        oracle = OracleKinematicICP(cfg)
+        poses = []
+        for (p, t), rel in zip(seq["frames"], seq["rel_odometry"]):
+            if not gate or np.linalg.norm(se3_log(rel)) > 1e-3:
+                oracle.register_frame(p.astype(np.float64),
+                                      t.astype(np.float64),
+                                      seq["extrinsic"], rel)
+            poses.append(oracle.last_pose.copy())
+        return np.asarray(poses)
+
+    def test_matches_python_oracle(self):
+        cfg = Config(voxel_size=1.0, max_range=60.0, deskew=True)
+        seq = synthetic.make_sequence(15)
+        got, stats = baseline_native.run_baseline(
+            cfg, seq["frames"], seq["rel_odometry"], seq["extrinsic"])
+        want = self._oracle_poses(cfg, seq)
+        assert stats["frames"] == 15
+        np.testing.assert_allclose(got, want, atol=1e-9)
+
+    def test_matches_oracle_no_deskew_fixed_threshold(self):
+        cfg = Config(voxel_size=0.8, max_range=40.0, deskew=False,
+                     use_adaptive_threshold=False, fixed_threshold=0.7,
+                     use_adaptive_odometry_regularization=False,
+                     fixed_regularization=0.1)
+        seq = synthetic.make_sequence(10, traj_seed=5)
+        got, _ = baseline_native.run_baseline(
+            cfg, seq["frames"], seq["rel_odometry"], seq["extrinsic"],
+            apply_stationary_gate=False)
+        want = self._oracle_poses(cfg, seq, gate=False)
+        np.testing.assert_allclose(got, want, atol=1e-9)
+
+    def test_single_thread_matches_multi(self):
+        cfg = Config(voxel_size=1.0, max_range=60.0, deskew=True)
+        seq = synthetic.make_sequence(8)
+        p1, _ = baseline_native.run_baseline(
+            cfg, seq["frames"], seq["rel_odometry"], seq["extrinsic"],
+            num_threads=1)
+        p2, _ = baseline_native.run_baseline(
+            cfg, seq["frames"], seq["rel_odometry"], seq["extrinsic"],
+            num_threads=2)
+        # Float64 reduction order may differ across thread counts; the
+        # trajectory impact must stay negligible.
+        np.testing.assert_allclose(p1, p2, atol=1e-6)
