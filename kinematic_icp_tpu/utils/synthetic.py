@@ -80,6 +80,17 @@ class LidarModel:
     max_range: float = 80.0
     noise_sigma: float = 0.01
     scan_duration: float = 0.1  # seconds
+    #: sensor height above ground (used only when ``ground`` is on)
+    sensor_height: float = 0.8
+    #: render a ground plane: downward beams that reach the floor before a
+    #: wall return a ground hit.  Real 3D lidar frames are dominated by
+    #: ground returns; without this the synthetic world downsamples to
+    #: unrealistically few keypoints (walls only).  Off by default to keep
+    #: the small test workload.
+    ground: bool = False
+    #: ground roughness sigma (m); gives the ground annulus realistic
+    #: sub-voxel structure instead of a perfect plane
+    ground_roughness: float = 0.02
 
 
 def render_scan(world: SyntheticWorld, lidar: LidarModel, pose_start,
@@ -119,8 +130,26 @@ def render_scan(world: SyntheticWorld, lidar: LidarModel, pose_start,
     # the elevated hit stays on the wall face (0..wall_height above ground).
     tan_r = np.tan(ring)                                         # (V,)
     z = d[:, None] * tan_r[None, :]                              # (A, V)
-    valid = hit[:, None] & (z > -0.5) & (z < world.wall_height)
-    dd = d[:, None] + rng.normal(0.0, lidar.noise_sigma, size=(A, V))
+    if lidar.ground:
+        h = lidar.sensor_height
+        wall_valid = hit[:, None] & (z > -h) & (z < world.wall_height - h)
+        # Downward beams reach the floor at planar distance h/tan(-elev);
+        # the ground hit wins if it is closer than the blocking wall.
+        with np.errstate(divide="ignore"):
+            d_ground = np.where(tan_r < 0, h / np.maximum(-tan_r, 1e-12),
+                                np.inf)[None, :]                 # (1, V)
+        d_wall = np.where(hit, d, np.inf)[:, None]               # (A, 1)
+        ground_valid = ((d_ground < d_wall)
+                        & (d_ground < lidar.max_range))          # (A, V)
+        planar = np.where(ground_valid, d_ground, d[:, None])
+        z = np.where(ground_valid,
+                     -h + rng.normal(0.0, lidar.ground_roughness,
+                                     size=z.shape), z)
+        valid = ground_valid | wall_valid
+    else:
+        planar = d[:, None]
+        valid = hit[:, None] & (z > -0.5) & (z < world.wall_height)
+    dd = planar + rng.normal(0.0, lidar.noise_sigma, size=(A, V))
     lx = dd * np.cos(beam_angles)[:, None]
     ly = dd * np.sin(beam_angles)[:, None]
     pts = np.stack([lx, ly, z], axis=-1)[valid]                  # (N, 3)
@@ -175,10 +204,45 @@ class OdometryNoise:
         return out
 
 
+def realistic_lidar(num_beams: int = 2048, num_rings: int = 32) -> LidarModel:
+    """A Velodyne-class 3D lidar model: ~64K rays/rev, ground returns on.
+
+    With the default rings, most downward beams hit the ground annulus
+    (1.7 m .. ~45 m), which dominates the return count exactly like real
+    outdoor scans — this is the model behind the large bench regime.
+    """
+    return LidarModel(
+        num_beams=num_beams, num_rings=num_rings,
+        ring_angles_deg=tuple(np.linspace(-25.0, 10.0, num_rings)),
+        ground=True)
+
+
+def _drop_segments_near_path(segments, path_xy, margin):
+    """Remove non-wall segments closer than ``margin`` to any path point.
+
+    The first 4 segments (the arena walls) are always kept.  Guards the
+    bench trajectory from driving *through* an interior box, which renders
+    degenerate all-close-range frames.
+    """
+    walls, rest = segments[:4], segments[4:]
+    if len(rest) == 0:
+        return segments
+    p0 = rest[:, None, 0:2]                          # (S, 1, 2)
+    d = rest[:, None, 2:4] - p0                      # (S, 1, 2)
+    rel = path_xy[None, :, :] - p0                   # (S, P, 2)
+    len2 = np.maximum(np.sum(d * d, axis=-1), 1e-12)
+    t = np.clip(np.sum(rel * d, axis=-1) / len2, 0.0, 1.0)
+    closest = p0 + t[..., None] * d
+    dist = np.linalg.norm(path_xy[None, :, :] - closest, axis=-1)
+    keep = np.min(dist, axis=1) > margin             # (S,)
+    return np.concatenate([walls, rest[keep]], axis=0)
+
+
 def make_sequence(num_frames=50, *, world_seed=0, traj_seed=1, noise_seed=2,
                   lidar: LidarModel | None = None,
                   noise: OdometryNoise | None = None,
-                  extrinsic: np.ndarray | None = None):
+                  extrinsic: np.ndarray | None = None,
+                  clear_path_margin: float | None = None):
     """Generate a full synthetic sequence.
 
     Returns a dict with:
@@ -192,6 +256,10 @@ def make_sequence(num_frames=50, *, world_seed=0, traj_seed=1, noise_seed=2,
     noise = noise or OdometryNoise(seed=noise_seed)
     traj = TrajectoryModel(seed=traj_seed)
     gt = traj.poses(num_frames, world)
+    if clear_path_margin is not None:
+        path_xy = np.asarray([[g[0, 3], g[1, 3]] for g in gt])
+        world.segments = _drop_segments_near_path(
+            world.segments, path_xy, clear_path_margin)
     ext = np.eye(4) if extrinsic is None else np.asarray(extrinsic, np.float64)
 
     rng = np.random.default_rng(world_seed + 1000)

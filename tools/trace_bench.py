@@ -22,10 +22,19 @@ from kinematic_icp_tpu.utils import synthetic
 TRACE_DIR = "/tmp/kicp_trace"
 
 def main():
-    cfg = Config(max_points=8192, max_downsampled=8192, max_source=4096,
-                 map_capacity=1 << 16, voxel_size=1.0, max_range=60.0,
-                 deskew=True)
-    seq = synthetic.make_sequence(50)
+    # TRACE_LARGE=1 traces the realistic 64K-point regime instead of the
+    # default 8K bench config.
+    if os.environ.get("TRACE_LARGE"):
+        cfg = Config(max_points=65536, max_downsampled=8192,
+                     max_source=1024, map_capacity=1 << 16, voxel_size=1.0,
+                     max_range=60.0, deskew=True)
+        seq = synthetic.make_sequence(50, lidar=synthetic.realistic_lidar(),
+                                      clear_path_margin=3.0)
+    else:
+        cfg = Config(max_points=8192, max_downsampled=8192, max_source=4096,
+                     map_capacity=1 << 16, voxel_size=1.0, max_range=60.0,
+                     deskew=True)
+        seq = synthetic.make_sequence(50)
     pts, ts, mask, has_ts, rels = pad_sequence(seq["frames"], seq["rel_odometry"], cfg)
     runner = make_sequence_runner(cfg)
     ext = jnp.eye(4)
