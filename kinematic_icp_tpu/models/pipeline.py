@@ -35,6 +35,12 @@ class FrameOutputs(NamedTuple):
     source_mask: jnp.ndarray    # (S,)
     pose: jnp.ndarray           # (4, 4) new pose
     debug: registration.RegistrationDebug
+    #: (3,) int32 capacity-overflow counters [downsample voxels dropped,
+    #: source voxels dropped, map insert bucket-overflow voxels].  The
+    #: reference's dynamic containers drop nothing (README.md:79), so any
+    #: nonzero value means the static capacities are undersized — surfaced
+    #: here instead of failing silently.
+    overflow: jnp.ndarray
 
 
 def init_state(config: Config, dtype=jnp.float32,
@@ -104,7 +110,8 @@ def register_frame(state: OdometryState, points, timestamps, mask,
     frame_in_base = transform(lidar_to_base, frame)
 
     # Double voxel downsample (KinematicICP.cpp:38-44, 61-62).
-    source, source_mask, frame_ds, frame_ds_mask = voxel.double_downsample(
+    source, source_mask, frame_ds, frame_ds_mask, ds_dropped = \
+        voxel.double_downsample(
         frame_in_base, frame_mask, config.voxel_size,
         max_downsampled=config.max_downsampled, max_source=config.max_source,
         max_extent=2.0 * config.max_range)
@@ -138,10 +145,11 @@ def register_frame(state: OdometryState, points, timestamps, mask,
         max_range=config.max_range,
         use_adaptive=config.use_adaptive_threshold)
 
-    new_map = hashmap.update(
+    new_map, insert_failed = hashmap.update(
         state.map, frame_ds, frame_ds_mask, new_pose,
         config.voxel_size, config.max_range, config.max_probes,
-        enable=active, max_extent=2.0 * config.max_range)
+        enable=active, max_extent=2.0 * config.max_range,
+        return_failed=True)
 
     if active is not None:
         new_pose = jnp.where(active, new_pose, state.pose)
@@ -153,7 +161,9 @@ def register_frame(state: OdometryState, points, timestamps, mask,
     outputs = FrameOutputs(
         frame=frame_in_base, frame_mask=frame_mask,
         source=source, source_mask=source_mask,
-        pose=new_pose, debug=debug)
+        pose=new_pose, debug=debug,
+        overflow=jnp.concatenate([ds_dropped,
+                                  insert_failed[None]]).astype(jnp.int32))
     return new_state, outputs
 
 

@@ -248,55 +248,6 @@ def pointcloud(m: MapState, voxel_size: float):
     return pts, mask
 
 
-def _probe_rows(m: MapState, bx, by, bz, max_probes: int = 0):
-    """Gather the bucket + select the matching slot sub-row per query voxel.
-
-    Args:
-      bx, by, bz: (...,) int32 voxel coord planes (SENTINEL rows never match).
-      max_probes: unused (kept for call-site symmetry) — the probe width is
-        the map's own bucket_slots.
-
-    Returns (row (..., R) uint32, found (...,), slot (...,), win_empty
-    list of (...,) per sub-slot).  ONE fat-row gather fetches the whole
-    bucket; fingerprint + exact-key matching across the G sub-rows is
-    elementwise on the gathered lanes.
-    """
-    del max_probes
-    k, g = m.block_size, m.bucket_slots
-    r = k + _META_LANES
-    bucket = bucket_of(bx, by, bz, m.num_buckets)
-    fpq = fingerprint(bx, by, bz)
-    valid_q = bx != SENTINEL
-
-    fat = m.table[bucket]                                        # (..., G*R)
-
-    row = jnp.zeros(bx.shape + (r,), jnp.uint32)
-    found = jnp.zeros(bx.shape, bool)
-    slot = jnp.zeros(bx.shape, jnp.int32)
-    win_empty = []
-    ukx = bx.astype(jnp.uint32)
-    uky = by.astype(jnp.uint32)
-    ukz = bz.astype(jnp.uint32)
-    for gi in range(g):
-        rows_p = fat[..., gi * r:(gi + 1) * r]                   # (..., R)
-        hit = ((rows_p[..., k] == fpq)
-               & (rows_p[..., k + 1] == ukx)
-               & (rows_p[..., k + 2] == uky)
-               & (rows_p[..., k + 3] == ukz)
-               & valid_q & ~found)
-        row = jnp.where(hit[..., None], rows_p, row)
-        slot = jnp.where(hit, bucket * g + gi, slot)
-        found = found | hit
-        win_empty.append(rows_p[..., k] == 0)
-    return row, found, slot, win_empty
-
-
-def find_slots(m: MapState, bx, by, bz, max_probes: int):
-    """Exact-key lookup. Returns (slot, found); slot arbitrary if not found."""
-    _, found, slot, _ = _probe_rows(m, bx, by, bz, max_probes)
-    return slot, found
-
-
 def _box_lower_bound_d2(q: P3, bx, by, bz, voxel_size: float):
     """Exact squared distance from each query to each voxel's AABB.
 
@@ -485,8 +436,16 @@ def nearest_neighbor(m: MapState, q: P3, query_mask, voxel_size: float,
 
 def insert(m: MapState, p: P3, mask, voxel_size: float, max_probes: int,
            fresh_capacity: int | None = None,
-           max_extent: float | None = None) -> MapState:
+           max_extent: float | None = None,
+           return_failed: bool = False) -> MapState:
     """AddPoints: insert world-frame points, first-come-kept per voxel block.
+
+    With ``return_failed`` the return is ``(MapState, failed)`` where
+    ``failed`` (scalar int32) counts NEW voxels this frame that could not be
+    allocated because every slot of their bucket is occupied by other voxels
+    (bucket overflow).  The reference's robin_map never refuses an
+    allocation, so a nonzero count is a capacity-pressure signal the caller
+    should surface (the points retry naturally on later frames).
 
     Points are grouped by (bucket, voxel) with one stable lexicographic
     sort; stability keeps input order inside each voxel group, matching the
@@ -687,7 +646,11 @@ def insert(m: MapState, p: P3, mask, voxel_size: float, max_probes: int,
     else:
         table = jax.lax.cond(num_fresh > fresh_capacity,
                              full_path, compact_path, table)
-    return MapState(table=table, bucket_slots=g)
+    out = MapState(table=table, bucket_slots=g)
+    if return_failed:
+        failed = jnp.sum((head & ~found & (tgt >= g)).astype(jnp.int32))
+        return out, failed
+    return out
 
 
 def evict_far(m: MapState, origin, max_distance: float, voxel_size: float,
@@ -728,16 +691,20 @@ def evict_far(m: MapState, origin, max_distance: float, voxel_size: float,
 
 def update(m: MapState, p: P3, mask, pose, voxel_size: float,
            max_distance: float, max_probes: int, enable=None,
-           max_extent: float | None = None) -> MapState:
+           max_extent: float | None = None, return_failed: bool = False):
     """VoxelHashMap::Update: transform by pose, insert, evict far blocks.
 
     ``enable`` (scalar bool, optional): when False the map is returned
     byte-identical (the caller's stationary gate, folded into the insert
     mask and the eviction kill mask so no full-table select is needed).
+    ``return_failed`` adds the insert's bucket-overflow voxel count.
     """
     world = transform(pose, p)
     if enable is not None:
         mask = mask & enable
-    m = insert(m, world, mask, voxel_size, max_probes,
-               max_extent=max_extent)
-    return evict_far(m, pose[:3, 3], max_distance, voxel_size, enable=enable)
+    m, failed = insert(m, world, mask, voxel_size, max_probes,
+                       max_extent=max_extent, return_failed=True)
+    m = evict_far(m, pose[:3, 3], max_distance, voxel_size, enable=enable)
+    if return_failed:
+        return m, failed
+    return m

@@ -100,10 +100,13 @@ def voxel_downsample(p: P3, mask, voxel_size: float, out_size: int,
         implied coord span fits 10 bits/axis the grouping sort runs on one
         packed u32 key instead of three i32 keys.
 
-    Returns (P3 of (out_size,), out_mask (out_size,)).  Output order is
-    voxel-lexicographic (the reference's robin_map iteration order is
-    arbitrary, so downstream consumers cannot depend on order anyway).
-    Voxels beyond ``out_size`` are dropped (choose capacities generously).
+    Returns (P3 of (out_size,), out_mask (out_size,), num_dropped).
+    Output order is voxel-lexicographic (the reference's robin_map iteration
+    order is arbitrary, so downstream consumers cannot depend on order
+    anyway).  Voxels beyond ``out_size`` are dropped — the reference's
+    dynamic containers drop nothing, so ``num_dropped`` (scalar int32, the
+    count of occupied voxels past capacity) is surfaced for the caller to
+    gate or warn on (choose capacities so it stays 0).
     """
     cx, cy, cz = voxel_coords_planar(p, voxel_size)
 
@@ -138,9 +141,10 @@ def voxel_downsample(p: P3, mask, voxel_size: float, out_size: int,
         pad = out_size - n
         out = P3(*(jnp.concatenate([a, jnp.zeros((pad,), a.dtype)])
                    for a in (ox, oy, oz)))
-    num_kept = jnp.minimum(jnp.sum(head), out_size)
+    num_heads = jnp.sum(head)
+    num_kept = jnp.minimum(num_heads, out_size)
     out_mask = jnp.arange(out_size) < num_kept
-    return out, out_mask
+    return out, out_mask, (num_heads - num_kept).astype(jnp.int32)
 
 
 def double_downsample(p: P3, mask, voxel_size: float, *,
@@ -148,13 +152,16 @@ def double_downsample(p: P3, mask, voxel_size: float, *,
                       max_extent: float | None = None):
     """KISS-ICP's double downsample (reference KinematicICP.cpp:38-44).
 
-    Returns (source, source_mask, frame_downsample, frame_downsample_mask):
-    frame_downsample at 0.5 * voxel_size feeds the map update; source at
-    1.5 * voxel_size (of frame_downsample) feeds the ICP.
+    Returns (source, source_mask, frame_downsample, frame_downsample_mask,
+    dropped): frame_downsample at 0.5 * voxel_size feeds the map update;
+    source at 1.5 * voxel_size (of frame_downsample) feeds the ICP.
+    ``dropped`` is a (2,) int32 of capacity-overflow voxel counts
+    (frame_downsample, source) — 0 when capacities are sized right.
     """
-    frame_ds, frame_ds_mask = voxel_downsample(
+    frame_ds, frame_ds_mask, drop_ds = voxel_downsample(
         p, mask, voxel_size * 0.5, max_downsampled, max_extent=max_extent)
-    source, source_mask = voxel_downsample(
+    source, source_mask, drop_src = voxel_downsample(
         frame_ds, frame_ds_mask, voxel_size * 1.5, max_source,
         max_extent=max_extent)
-    return source, source_mask, frame_ds, frame_ds_mask
+    return (source, source_mask, frame_ds, frame_ds_mask,
+            jnp.stack([drop_ds, drop_src]))

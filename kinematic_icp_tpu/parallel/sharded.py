@@ -163,10 +163,12 @@ def sharded_register_frame(state: OdometryState, points, timestamps, mask,
             p, mask, config.min_range, config.max_range)
 
     frame_in_base = transform(lidar_to_base, frame)
-    source, source_mask, frame_ds, frame_ds_mask = voxel.double_downsample(
-        frame_in_base, frame_mask, config.voxel_size,
-        max_downsampled=config.max_downsampled, max_source=config.max_source,
-        max_extent=2.0 * config.max_range)
+    source, source_mask, frame_ds, frame_ds_mask, ds_dropped = \
+        voxel.double_downsample(
+            frame_in_base, frame_mask, config.voxel_size,
+            max_downsampled=config.max_downsampled,
+            max_source=config.max_source,
+            max_extent=2.0 * config.max_range)
 
     tau = threshold.compute_threshold(
         state.threshold,
@@ -192,9 +194,9 @@ def sharded_register_frame(state: OdometryState, points, timestamps, mask,
     ins_mask = frame_ds_mask & my
     if active is not None:
         ins_mask = ins_mask & active
-    new_map = hashmap.insert(state.map, world_ds, ins_mask,
-                             config.voxel_size, config.max_probes,
-                             max_extent=2.0 * config.max_range)
+    new_map, insert_failed = hashmap.insert(
+        state.map, world_ds, ins_mask, config.voxel_size, config.max_probes,
+        max_extent=2.0 * config.max_range, return_failed=True)
     new_map = hashmap.evict_far(new_map, new_pose[:3, 3], config.max_range,
                                 config.voxel_size, enable=active)
 
@@ -209,7 +211,11 @@ def sharded_register_frame(state: OdometryState, points, timestamps, mask,
     outputs = FrameOutputs(
         frame=frame_in_base, frame_mask=frame_mask,
         source=source, source_mask=source_mask,
-        pose=new_pose, debug=debug)
+        pose=new_pose, debug=debug,
+        overflow=jnp.concatenate(
+            [ds_dropped,
+             jax.lax.psum(insert_failed, axis_name)[None]]
+        ).astype(jnp.int32))
     return new_state, outputs
 
 
@@ -293,7 +299,8 @@ def make_sharded_step(config: Config, mesh, donate: bool = True):
         frame=p3_data, frame_mask=P("data"), source=p3_data,
         source_mask=P("data"), pose=P("data"),
         debug=registration.RegistrationDebug(
-            iterations=P("data"), num_correspondences=P("data")))
+            iterations=P("data"), num_correspondences=P("data")),
+        overflow=P("data"))
 
     # check_vma=False: the varying-manual-axes checker (jax 0.9) mis-tracks
     # numpy constants captured inside while_loop bodies under vmap-in-

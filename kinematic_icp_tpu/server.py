@@ -13,6 +13,7 @@ mirrored to host per frame.
 from __future__ import annotations
 
 import math
+import warnings
 
 import jax.numpy as jnp
 import numpy as np
@@ -57,6 +58,15 @@ class LidarOdometryServer:
         self.poses_with_stamps: list[tuple[float, np.ndarray]] = []
         self.frames_registered = 0
         self.frames_skipped = 0
+        #: data-loss counters — the reference's dynamic containers drop
+        #: nothing (README.md:79), so every drop is counted and warned once:
+        #: raw points truncated past max_points, downsample/source voxels
+        #: past capacity, map-insert bucket overflows.
+        self.overflow_stats = {"points_truncated": 0,
+                               "downsample_dropped": 0,
+                               "source_dropped": 0,
+                               "insert_failed": 0}
+        self._overflow_warned = False
         # message-interface state (lazy init like LidarOdometryServer.cpp:160)
         self._initialized = initial_pose is not None or extrinsic is not None
         self._stamps_handler = None
@@ -79,6 +89,15 @@ class LidarOdometryServer:
         return arr[np.asarray(mask)]
 
     # ------------------------------------------------------------------
+    def _warn_overflow(self, msg: str):
+        """Warn once per server (counters in ``overflow_stats`` keep the
+        full tally).  The reference drops nothing (README.md:79), so data
+        loss must never be silent."""
+        if not self._overflow_warned:
+            warnings.warn(f"kinematic_icp_tpu data loss: {msg}",
+                          RuntimeWarning, stacklevel=3)
+            self._overflow_warned = True
+
     def _step_for(self, bucket: int):
         if bucket not in self._steps:
             cfg = self.config.replace(max_points=bucket)
@@ -111,6 +130,11 @@ class LidarOdometryServer:
             n = len(points)
             bucket = next_bucket(max(n, 1), self.config.max_points)
             npts = min(n, bucket)
+            if npts < n:
+                self.overflow_stats["points_truncated"] += n - npts
+                self._warn_overflow(
+                    f"scan has {n} points > Config.max_points="
+                    f"{self.config.max_points}; {n - npts} dropped")
             pad_pts = np.zeros((bucket, 3), np.float32)
             pad_pts[:npts] = points[:npts]
             pad_ts = np.zeros((bucket,), np.float32)
@@ -127,6 +151,15 @@ class LidarOdometryServer:
                 jnp.asarray(rel.astype(np.float32)))
             self.frames_registered += 1
             registered = True
+            ovf = np.asarray(out.overflow)
+            if ovf.any():
+                self.overflow_stats["downsample_dropped"] += int(ovf[0])
+                self.overflow_stats["source_dropped"] += int(ovf[1])
+                self.overflow_stats["insert_failed"] += int(ovf[2])
+                self._warn_overflow(
+                    f"capacity overflow this frame (downsample/source/"
+                    f"insert voxels dropped: {ovf.tolist()}); raise "
+                    f"Config.max_downsampled/max_source/map_capacity")
         else:
             self.frames_skipped += 1
 

@@ -71,3 +71,67 @@ class TestDifferential:
         for k, (a, b) in enumerate(zip(oracle_poses, jax_poses)):
             d = np.linalg.norm(a[:3, 3] - b[:3, 3])
             assert d < 0.05, f"frame {k}: {d:.4f} m divergence"
+
+
+class TestChaosFloor:
+    """The algorithm's own sensitivity bound on trajectory-delta gates.
+
+    Kinematic-ICP's voxel-grid decisions (downsample first-point-wins, map
+    block membership, threshold gating) amplify ANY numeric difference: two
+    runs of the exact f64 reference algorithm whose inputs differ by one
+    MICROMETRE diverge to several-cm ATE within 100 frames (and the
+    divergence does not shrink with the perturbation).  Trajectory deltas
+    vs the reference beyond short horizons therefore measure chaotic
+    sensitivity, not implementation fidelity — the meaningful long-horizon
+    parity evidence is (a) short-window exact agreement (TestDifferential),
+    (b) delta within ~the chaos floor, and (c) statistically equal accuracy
+    vs ground truth (bench.py multi-seed runs).
+    """
+
+    @staticmethod
+    def _floor_draws(seq):
+        """Reference self-divergence draws: 1 um noise + 2 permutations."""
+        from kinematic_icp_tpu import baseline_native
+        exact, _ = baseline_native.run_baseline(
+            CFG, seq["frames"], seq["rel_odometry"], seq["extrinsic"],
+            num_threads=1)
+        floors = []
+        rng = np.random.default_rng(7)
+        pert = [(p + rng.normal(0, 1e-6, p.shape), t)
+                for p, t in seq["frames"]]
+        noisy, _ = baseline_native.run_baseline(
+            CFG, pert, seq["rel_odometry"], seq["extrinsic"], num_threads=1)
+        floors.append(ate_rmse(list(exact), list(noisy), align=False))
+        for d in range(2):
+            rng = np.random.default_rng(777 + d)
+            frames = []
+            for p, t in seq["frames"]:
+                perm = rng.permutation(len(p))
+                frames.append((p[perm], t[perm]))
+            pp, _ = baseline_native.run_baseline(
+                CFG, frames, seq["rel_odometry"], seq["extrinsic"],
+                num_threads=1)
+            floors.append(ate_rmse(list(exact), list(pp), align=False))
+        return exact, floors
+
+    def test_micrometre_perturbation_diverges(self):
+        from kinematic_icp_tpu import baseline_native
+        if not baseline_native.available():
+            pytest.skip("native baseline binary unavailable")
+        seq = synthetic.make_sequence(60)
+        _, floors = self._floor_draws(seq)
+        # guarantee-free input variation must visibly move the trajectory
+        # (chaos) yet stay within the same odometry-quality envelope.
+        assert 1e-4 < max(floors) < 0.5, floors
+
+    def test_tpu_delta_within_chaos_envelope(self):
+        from kinematic_icp_tpu import baseline_native
+        if not baseline_native.available():
+            pytest.skip("native baseline binary unavailable")
+        from kinematic_icp_tpu.offline import run_offline
+        seq = synthetic.make_sequence(60)
+        exact, floors = self._floor_draws(seq)
+        poses, _ = run_offline(seq["frames"], seq["rel_odometry"], CFG,
+                               extrinsic=seq["extrinsic"])
+        delta = ate_rmse(list(exact), list(poses), align=False)
+        assert delta <= max(0.05, 3.5 * max(floors)), (delta, floors)

@@ -210,3 +210,67 @@ class TestProbeRobustness:
         # bounded probing may drop a few at this load, but the vast
         # majority must be stored
         assert kept > 0.97 * n
+
+
+class TestOverflowAccounting:
+    @staticmethod
+    def _colliding_voxels(num, num_buckets):
+        """Find ``num`` distinct voxel coords hashing to one bucket."""
+        from kinematic_icp_tpu.ops.voxel import spatial_hash
+        found = {}
+        for x in range(-40, 40):
+            for y in range(-40, 40):
+                h = int(np.asarray(spatial_hash(
+                    jnp.asarray([[x, y, 0]], jnp.int32)))[0]) % num_buckets
+                found.setdefault(h, []).append((x, y, 0))
+                if len(found[h]) >= num:
+                    return found[h][:num]
+        raise AssertionError("no collision set found")
+
+    def test_bucket_overflow_counted_and_bounded(self):
+        # Construct P+1 distinct voxels that all hash to ONE bucket: the
+        # P+1-th allocation must be refused and counted, never corrupt
+        # another bucket.
+        m = make_map()
+        vox = self._colliding_voxels(P + 1, m.num_buckets)
+        pts = np.asarray([[x + 0.5, y + 0.5, z + 0.5] for x, y, z in vox],
+                         np.float32)
+        m2, failed = hashmap.insert(
+            m, P3.from_array(jnp.asarray(pts)), jnp.ones(len(pts), bool),
+            VS, P, return_failed=True)
+        assert int(failed) == 1
+        assert int(hashmap.num_voxels(m2)) == P
+        # the stored voxels answer exact-match queries
+        _, d = nn_arr(m2, pts, np.ones(len(pts), bool), VS, P)
+        assert (d < 2e-3).sum() == P
+
+    def test_no_overflow_zero_failed(self):
+        pts = RNG.uniform(-10, 10, (128, 3)).astype(np.float32)
+        _, failed = hashmap.insert(
+            make_map(), P3.from_array(jnp.asarray(pts)),
+            jnp.ones(128, bool), VS, P, return_failed=True)
+        assert int(failed) == 0
+
+    def test_fresh_capacity_fallback_exact(self):
+        # More fresh voxels than fresh_capacity must take the full-width
+        # fallback path and still allocate every voxel exactly.
+        pts = (np.arange(32, dtype=np.float32)[:, None]
+               * np.array([[2.0, 0, 0]], np.float32) + 0.5)
+        m, failed = hashmap.insert(
+            make_map(), P3.from_array(jnp.asarray(pts)),
+            jnp.ones(32, bool), VS, P, fresh_capacity=4, return_failed=True)
+        assert int(failed) == 0
+        assert int(hashmap.num_voxels(m)) == 32
+        _, d = nn_arr(m, pts, np.ones(32, bool), VS, P)
+        assert np.all(d < 2e-3)
+
+    def test_compact_path_matches_full_path(self):
+        pts = RNG.uniform(-10, 10, (256, 3)).astype(np.float32)
+        p3 = P3.from_array(jnp.asarray(pts))
+        mask = jnp.ones(256, bool)
+        m_compact = hashmap.insert(make_map(), p3, mask, VS, P,
+                                   fresh_capacity=256)
+        m_full = hashmap.insert(make_map(), p3, mask, VS, P,
+                                fresh_capacity=1)  # forces full fallback
+        np.testing.assert_array_equal(np.asarray(m_compact.table),
+                                      np.asarray(m_full.table))

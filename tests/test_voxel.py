@@ -8,7 +8,7 @@ from kinematic_icp_tpu.ops.points import P3
 
 
 def downsample_arr(pts, mask, vs, out_size):
-    out, out_mask = voxel.voxel_downsample(
+    out, out_mask, _ = voxel.voxel_downsample(
         P3.from_array(jnp.asarray(pts)), jnp.asarray(mask), vs, out_size)
     return np.asarray(out.to_array()), np.asarray(out_mask)
 
@@ -81,11 +81,19 @@ class TestVoxelDownsample:
         out, out_mask = downsample_arr(pts, np.zeros(16, bool), 1.0, 8)
         assert not np.any(out_mask)
 
-    def test_overflow_drops_excess(self):
+    def test_overflow_drops_excess_and_counts(self):
         pts = (np.arange(32, dtype=np.float32)[:, None]
                * np.array([[1.0, 0, 0]], np.float32)) * 2.0
-        out, out_mask = downsample_arr(pts, np.ones(32, bool), 1.0, 8)
-        assert out_mask.sum() == 8
+        out, out_mask, dropped = voxel.voxel_downsample(
+            P3.from_array(jnp.asarray(pts)), jnp.ones(32, bool), 1.0, 8)
+        assert np.asarray(out_mask).sum() == 8
+        assert int(dropped) == 32 - 8  # every point its own voxel
+
+    def test_no_overflow_reports_zero(self):
+        pts = RNG.uniform(-4, 4, size=(64, 3)).astype(np.float32)
+        _, _, dropped = voxel.voxel_downsample(
+            P3.from_array(jnp.asarray(pts)), jnp.ones(64, bool), 1.0, 512)
+        assert int(dropped) == 0
 
     def test_negative_coords(self):
         pts = np.array([[-0.5, -0.5, -0.5], [-0.6, -0.6, -0.6],
@@ -97,7 +105,7 @@ class TestVoxelDownsample:
     def test_double_downsample_counts(self):
         pts = RNG.uniform(-30, 30, size=(2000, 3)).astype(np.float32)
         mask = np.ones(2000, bool)
-        src, src_m, ds, ds_m = voxel.double_downsample(
+        src, src_m, ds, ds_m, _ = voxel.double_downsample(
             P3.from_array(jnp.asarray(pts)), jnp.asarray(mask), 1.0,
             max_downsampled=2048, max_source=2048)
         src = src.to_array()

@@ -1,7 +1,8 @@
-"""Per-stage device timing for the odometry step (run on the real chip).
+"""Pure device-time per stage: iterate each stage inside one jitted scan.
 
-Usage: python tools/profile_stages.py
-Prints median ms per stage at bench.py's shapes.
+Each stage is wrapped in lax.scan over REPS iterations with a data dependency
+through the carry, so the measured wall time is REPS * device_time + one
+dispatch. Run on the real chip.
 """
 import os
 import sys
@@ -16,19 +17,29 @@ import jax.numpy as jnp
 from kinematic_icp_tpu import Config
 from kinematic_icp_tpu.models import pipeline
 from kinematic_icp_tpu.offline import pad_sequence
-from kinematic_icp_tpu.ops import hashmap, preprocessing, registration, se3, threshold, voxel
+from kinematic_icp_tpu.ops import hashmap, preprocessing, registration, voxel
 from kinematic_icp_tpu.ops.points import P3, transform
 from kinematic_icp_tpu.utils import synthetic
 
+REPS = 50
 
-def timeit(fn, *args, reps=30):
-    out = fn(*args)
-    jax.tree.map(lambda x: x.block_until_ready(), out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.tree.map(lambda x: x.block_until_ready(), out)
-    return (time.perf_counter() - t0) / reps * 1000
+
+def device_ms(make_body, init_carry, reps=REPS):
+    """Time lax.scan(body, carry, length=reps) in one dispatch."""
+    @jax.jit
+    def run(carry):
+        def body(c, _):
+            return make_body(c), None
+        out, _ = jax.lax.scan(body, carry, None, length=reps)
+        return out
+    with jax.default_matmul_precision("highest"):
+        out = run(init_carry)
+        jax.tree.map(lambda x: x.block_until_ready(), out)
+        t0 = time.perf_counter()
+        out = run(init_carry)
+        jax.tree.map(lambda x: x.block_until_ready(), out)
+        dt = time.perf_counter() - t0
+    return dt / reps * 1000
 
 
 def main():
@@ -38,7 +49,6 @@ def main():
     seq = synthetic.make_sequence(30)
     pts, ts, mask, has_ts, rels = pad_sequence(seq["frames"], seq["rel_odometry"], cfg)
 
-    # Build a representative mid-sequence state by running the real step.
     step = pipeline.make_step(cfg, donate=False)
     state = pipeline.init_state(cfg)
     ext = jnp.eye(4)
@@ -54,48 +64,65 @@ def main():
     mk = jnp.asarray(mask[k])
     rel = jnp.asarray(rels[k])
 
-    with jax.default_matmul_precision("highest"):
-        pre = jax.jit(lambda p, t, m, r: preprocessing.preprocess(
-            p, t, m, r, min_range=cfg.min_range, max_range=cfg.max_range,
-            deskew_enabled=True, has_timestamps=True))
-        frame, fmask = pre(p, tsk, mk, rel)
+    frame, fmask = preprocessing.preprocess(
+        p, tsk, mk, rel, min_range=cfg.min_range, max_range=cfg.max_range,
+        deskew_enabled=True, has_timestamps=jnp.bool_(True))
+    source, smask, fds, fdsmask = voxel.double_downsample(
+        frame, fmask, cfg.voxel_size, max_downsampled=cfg.max_downsampled,
+        max_source=cfg.max_source)
+    world = transform(state.pose, source)
 
-        dd = jax.jit(lambda f, m: voxel.double_downsample(
-            f, m, cfg.voxel_size, max_downsampled=cfg.max_downsampled,
-            max_source=cfg.max_source))
-        source, smask, fds, fdsmask = dd(frame, fmask)
+    # Each carry feeds the next iteration to prevent loop-invariant hoisting.
+    t = device_ms(
+        lambda c: preprocessing.preprocess(
+            P3(c.x + 1e-9, c.y, c.z), tsk, mk, rel,
+            min_range=cfg.min_range, max_range=cfg.max_range,
+            deskew_enabled=True, has_timestamps=jnp.bool_(True))[0],
+        p)
+    print(f"preprocess        {t:8.3f} ms")
 
-        gather = jax.jit(lambda mp, q: hashmap.gather_candidates(
-            mp, q, cfg.voxel_size, cfg.max_probes, cfg.neighbor_candidates))
-        world = transform(state.pose, source)
-        cand = gather(state.map, world)
+    t = device_ms(
+        lambda c: voxel.double_downsample(
+            P3(c.x + 1e-9, c.y, c.z), fmask, cfg.voxel_size,
+            max_downsampled=cfg.max_downsampled, max_source=cfg.max_source)[2],
+        frame)
+    print(f"double_downsample {t:8.3f} ms")
 
-        def gn(mp, src, sm, pose, rel):
-            return registration.compute_robot_motion(
-                mp, src, sm, pose, rel, 0.5,
-                voxel_size=cfg.voxel_size, max_probes=cfg.max_probes,
-                max_num_iterations=cfg.max_num_iterations,
-                convergence_criterion=cfg.convergence_criterion,
-                use_adaptive_odometry_regularization=True,
-                fixed_regularization=0.0,
-                num_candidate_voxels=cfg.neighbor_candidates)
-        gnj = jax.jit(gn)
+    def gc_body(c):
+        cand = hashmap.gather_candidates(
+            state.map, P3(c.x + 1e-9, c.y, c.z), cfg.voxel_size,
+            cfg.max_probes, cfg.neighbor_candidates)
+        return P3(c.x + cand.x[0, :, 0] * 1e-12, c.y, c.z)
+    print(f"gather_candidates {device_ms(gc_body, world):8.3f} ms")
 
-        ins = jax.jit(lambda mp, f, m: hashmap.insert(
-            mp, f, m, cfg.voxel_size, cfg.max_probes))
-        ev = jax.jit(lambda mp: hashmap.evict_far(
-            mp, state.pose[:3, 3], cfg.max_range, cfg.voxel_size))
+    def gn_body(c):
+        pose = c
+        newpose, _ = registration.compute_robot_motion(
+            state.map, source, smask, pose, rel, 0.5,
+            voxel_size=cfg.voxel_size, max_probes=cfg.max_probes,
+            max_num_iterations=cfg.max_num_iterations,
+            convergence_criterion=cfg.convergence_criterion,
+            use_adaptive_odometry_regularization=True,
+            fixed_regularization=0.0,
+            num_candidate_voxels=cfg.neighbor_candidates)
+        return newpose
+    print(f"gn_full           {device_ms(gn_body, state.pose):8.3f} ms")
 
-        full = jax.jit(lambda st, pp, tt, mm: pipeline.register_frame(
-            st, pp, tt, mm, jnp.bool_(True), ext, rel, cfg))
+    t = device_ms(lambda c: hashmap.insert(c, fds, fdsmask, cfg.voxel_size,
+                                           cfg.max_probes), state.map)
+    print(f"insert            {t:8.3f} ms")
 
-        print(f"preprocess        {timeit(pre, p, tsk, mk, rel):8.3f} ms")
-        print(f"double_downsample {timeit(dd, frame, fmask):8.3f} ms")
-        print(f"gather_candidates {timeit(gather, state.map, world):8.3f} ms")
-        print(f"gn_full           {timeit(gnj, state.map, source, smask, state.pose, rel):8.3f} ms")
-        print(f"insert            {timeit(ins, state.map, fds, fdsmask):8.3f} ms")
-        print(f"evict_far         {timeit(ev, state.map):8.3f} ms")
-        print(f"full_step         {timeit(full, state, jnp.asarray(pts[k]), tsk, mk):8.3f} ms")
+    t = device_ms(lambda c: hashmap.evict_far(c, state.pose[:3, 3],
+                                              cfg.max_range, cfg.voxel_size),
+                  state.map)
+    print(f"evict_far         {t:8.3f} ms")
+
+    def full_body(c):
+        st = c
+        st2, _ = pipeline.register_frame(st, jnp.asarray(pts[k]), tsk, mk,
+                                         jnp.bool_(True), ext, rel, cfg)
+        return st2
+    print(f"full_step         {device_ms(full_body, state):8.3f} ms")
 
 
 if __name__ == "__main__":
