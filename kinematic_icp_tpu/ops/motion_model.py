@@ -30,8 +30,13 @@ def control_to_twist(controls):
     small = jnp.abs(theta) < _SMALL
     safe_theta = jnp.where(small, jnp.ones_like(theta), theta)
     sinc = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(safe_theta) / safe_theta)
+    # (1 - cos t)/t via the cancellation-free 2 sin^2(t/2)/t: the naive form
+    # is exactly 0 in f32 for |t| < ~3.4e-4 (and noise-dominated well past
+    # that), which would bias the lateral displacement on near-straight
+    # motion.
+    sh = jnp.sin(0.5 * safe_theta)
     verc = jnp.where(small, theta / 2.0 - t2 * theta / 24.0,
-                     (1.0 - jnp.cos(safe_theta)) / safe_theta)
+                     2.0 * sh * sh / safe_theta)
     zeros = jnp.zeros_like(rho)
     return jnp.stack([rho * sinc, rho * verc, zeros, zeros, zeros, theta], axis=-1)
 

@@ -80,12 +80,19 @@ def deskew(p: P3, timestamps, relative_motion, enable) -> P3:
     rz = jnp.where(rot_small, p.z, rz)
 
     # --- translation: V(a k) (s v) ------------------------------------
-    # coefficients (1-cos a)/a and (a - sin a)/a with stable small-angle
-    # forms (a/2 and a^2/6 respectively)
+    # coefficients (1-cos a)/a and (a - sin a)/a.  Both naive forms are
+    # f32-catastrophic far beyond a tiny-angle guard (1-cos a == 0 exactly
+    # for |a| < ~3.4e-4; a - sin a keeps ~no bits below |a| ~ 0.1), so
+    # (1-cos a)/a uses the exact identity 2 sin^2(a/2)/a and (a - sin a)/a
+    # a Taylor branch with a generous 0.1 switch point.
+    a2 = a * a
     small_a = jnp.abs(a) < _SMALL
     safe_a = jnp.where(small_a, 1.0, a)
-    c1 = jnp.where(small_a, a * 0.5, one_m_cos / safe_a)
-    c2 = jnp.where(small_a, a * a / 6.0, (a - sin_a) / safe_a)
+    sin_ha = jnp.sin(0.5 * a)
+    c1 = jnp.where(small_a, a * 0.5, 2.0 * sin_ha * sin_ha / safe_a)
+    c2 = jnp.where(jnp.abs(a) < 0.1,
+                   (a2 / 6.0) * (1.0 - a2 / 20.0),
+                   (a - sin_a) / safe_a)
     kxv = jnp.array([ky_ * v[2] - kz_ * v[1],
                      kz_ * v[0] - kx_ * v[2],
                      kx_ * v[1] - ky_ * v[0]])

@@ -21,18 +21,25 @@ _SMALL = 1e-6
 def _taylor_coeffs(theta):
     """Return (A, B, C) with A=sin t/t, B=(1-cos t)/t^2, C=(1-A)/t^2.
 
-    Stable for theta -> 0 via 4th-order Taylor expansions.
+    float32-stable everywhere.  The naive forms are catastrophic in f32 well
+    beyond any tiny-theta guard: ``1 - cos(t)`` is EXACTLY 0 for t < ~3.4e-4
+    (making B = 0, which turned downstream divisions into NaN and silently
+    voided whole frames at near-straight odometry), and ``1 - A`` loses most
+    of its bits below t ~ 1e-2.  So B uses the cancellation-free identity
+    ``1 - cos t = 2 sin^2(t/2)`` and C a Taylor branch with a generous 0.5
+    switch point (truncation error there ~1e-7 relative — below f32 eps).
     """
     t2 = theta * theta
     small = theta < _SMALL
     # Safe denominator: where small, the Taylor branch is taken instead.
     safe_t = jnp.where(small, jnp.ones_like(theta), theta)
-    safe_t2 = safe_t * safe_t
-    A = jnp.where(small, 1.0 - t2 / 6.0 + t2 * t2 / 120.0, jnp.sin(safe_t) / safe_t)
-    B = jnp.where(small, 0.5 - t2 / 24.0 + t2 * t2 / 720.0,
-                  (1.0 - jnp.cos(safe_t)) / safe_t2)
-    C = jnp.where(small, 1.0 / 6.0 - t2 / 120.0 + t2 * t2 / 5040.0,
-                  (1.0 - A) / safe_t2)
+    A = jnp.where(small, 1.0 - t2 / 6.0 + t2 * t2 / 120.0,
+                  jnp.sin(safe_t) / safe_t)
+    sh = jnp.sin(0.5 * safe_t) / safe_t                # sin(t/2)/t, exact
+    B = jnp.where(small, 0.5 - t2 / 24.0 + t2 * t2 / 720.0, 2.0 * sh * sh)
+    C = jnp.where(theta < 0.5,
+                  1.0 / 6.0 - t2 / 120.0 + t2 * t2 / 5040.0,
+                  (1.0 - A) / jnp.where(theta < 0.5, 1.0, t2))
     return A, B, C
 
 
@@ -190,9 +197,13 @@ def se3_log(T):
     t2 = wx * wx + wy * wy + wz * wz
     theta = jnp.sqrt(t2)
     A, B, _ = _taylor_coeffs(theta)
-    small = theta < _SMALL
+    # coeff = (1 - A/(2B)) / t^2 loses all significance in f32 below
+    # theta ~ 0.1 (A, 2B -> 1); the Taylor series 1/12 + t^2/720 + t^4/30240
+    # is accurate to < 2e-7 relative at theta = 0.5, so switch generously.
+    small = theta < 0.5
     safe_t2 = jnp.where(small, jnp.ones_like(t2), t2)
-    coeff = jnp.where(small, 1.0 / 12.0 + t2 / 720.0,
+    coeff = jnp.where(small,
+                      1.0 / 12.0 + t2 / 720.0 + t2 * t2 / 30240.0,
                       (1.0 - A / (2.0 * B)) / safe_t2)
     # Vinv = (1 - coeff theta^2) I - W/2 + coeff w w^T
     diag = 1.0 - coeff * t2

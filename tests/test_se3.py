@@ -114,3 +114,69 @@ class TestSE3:
         T = se3.se3_exp(jnp.concatenate([jnp.zeros(3), jnp.asarray(w)]))
         angle = float(se3.rotation_angle(T))
         assert angle == pytest.approx(np.linalg.norm(w), abs=1e-5)
+
+
+class TestFloat32SmallAngleStability:
+    """Regression: f32 cancellation at small-but-not-tiny rotations.
+
+    1 - cos(t) is EXACTLY 0.0 in float32 for t < ~3.4e-4, which made
+    se3_log's V-inverse divide by zero and return NaN translation for
+    near-straight motion (|w| ~ 1e-4 rad happens every few dozen frames of
+    real wheel odometry).  The NaN then voided the whole frame's deskew AND
+    flipped the stationary gate to 'skip', silently dropping real motion.
+    """
+
+    def test_log_finite_and_exact_across_angles(self):
+        rng = np.random.default_rng(0)
+        for theta in [0.0, 1e-7, 1e-5, 1.6e-4, 1e-3, 1e-2, 0.1, 0.4, 0.6,
+                      1.5, 3.0]:
+            axis = rng.normal(size=3)
+            axis /= np.linalg.norm(axis)
+            t = rng.normal(size=3) * 0.5
+            T64 = np.eye(4)
+            T64[:3, :3] = _scipy_rotation(axis * theta)
+            T64[:3, 3] = t
+            xi = np.asarray(se3.se3_log(jnp.asarray(T64, jnp.float32)),
+                            np.float64)
+            assert np.isfinite(xi).all(), (theta, xi)
+            # round trip through exp recovers the transform to f32 accuracy
+            back = np.asarray(se3.se3_exp(jnp.asarray(xi, jnp.float32)),
+                              np.float64)
+            np.testing.assert_allclose(back, T64, atol=5e-6)
+
+    def test_motion_model_small_yaw(self):
+        from kinematic_icp_tpu.ops import motion_model
+        for theta in [1e-6, 1e-4, 3e-4, 1e-3, 1e-2]:
+            d = np.asarray(motion_model.motion_model(
+                jnp.asarray([0.5, theta], jnp.float32)), np.float64)
+            assert np.isfinite(d).all()
+            # reference semantics (Registration.cpp:159-167): the twist's
+            # v_y = rho (1-cos)/theta ~ rho theta/2 plus V's theta/2 v_x
+            # term gives final lateral displacement ~ rho * theta.
+            np.testing.assert_allclose(d[1, 3], 0.5 * theta,
+                                       rtol=1e-3, atol=1e-10)
+
+    def test_deskew_finite_near_straight_motion(self):
+        from kinematic_icp_tpu.ops import preprocessing
+        from kinematic_icp_tpu.ops.points import P3
+        rng = np.random.default_rng(1)
+        pts = P3.from_array(jnp.asarray(
+            rng.uniform(-30, 30, (256, 3)).astype(np.float32)))
+        ts = jnp.asarray(np.linspace(0, 1, 256, dtype=np.float32))
+        # near-straight motion: 0.5 m forward, 1.6e-4 rad yaw
+        rel = np.asarray(se3.se3_exp(jnp.asarray(
+            [0.5, 0.0, 0.0, 0.0, 0.0, 1.6e-4], jnp.float64)))
+        out = preprocessing.deskew(pts, ts, jnp.asarray(rel, jnp.float32),
+                                   jnp.bool_(True))
+        arr = np.asarray(out.to_array())
+        assert np.isfinite(arr).all()
+        # the scan-end points (ts=1) are unmoved; scan-start moved ~0.5 m
+        np.testing.assert_allclose(arr[-1], np.asarray(pts.to_array())[-1],
+                                   atol=1e-5)
+        shift = np.linalg.norm(arr[0] - np.asarray(pts.to_array())[0])
+        assert 0.45 < shift < 0.55
+
+
+def _scipy_rotation(rotvec):
+    from scipy.spatial.transform import Rotation
+    return Rotation.from_rotvec(rotvec).as_matrix()
