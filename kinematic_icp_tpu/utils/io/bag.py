@@ -1,4 +1,4 @@
-"""Bag ingestion: look-ahead buffered reading of mcap files + multiplexing.
+"""Bag ingestion: look-ahead buffered reading of bag files + multiplexing.
 
 Reimplements ``BufferableBag`` / ``BagMultiplexer``
 (ros/src/kinematic_icp_ros/utils/RosbagUtils.cpp): while draining the bag,
@@ -14,17 +14,19 @@ from __future__ import annotations
 from collections import deque
 from typing import Iterator
 
-from .mcap import McapReader, Message
+from .mcap import Message
 from .messages import SCHEMA_DECODERS, TFMessage
+from .sqlite_bag import open_bag
 from .tf import TransformBuffer
 
 
 class BufferableBag:
-    """One mcap file with tf bridging and a time look-ahead buffer."""
+    """One bag file (mcap or rosbag2 sqlite .db3) with tf bridging and a
+    time look-ahead buffer."""
 
     def __init__(self, path, tf_buffer: TransformBuffer, topic: str,
                  buffer_size: float = 1.0):
-        self.reader = McapReader(path)
+        self.reader = open_bag(path)
         self.tf_buffer = tf_buffer
         self.topic = topic
         self.buffer_size = buffer_size

@@ -3,9 +3,9 @@
 Replaces the rosbag2 storage layer used by the reference's offline path
 (ros/src/kinematic_icp_ros/utils/RosbagUtils.cpp): reads the subset of MCAP
 that rosbag2 writes — Header/Schema/Channel/Message records, optionally
-wrapped in zstd- or uncompressed Chunks — and writes valid minimal files for
-round-trip tests and dataset conversion.  lz4 chunks raise a clear error
-(no lz4 module in this environment).
+wrapped in zstd-, lz4- or uncompressed Chunks — and writes valid minimal
+files for round-trip tests and dataset conversion.  lz4 uses the bundled
+pure-Python codec (utils/io/lz4f.py) when no lz4 module is available.
 """
 
 from __future__ import annotations
@@ -161,10 +161,9 @@ class McapReader:
             try:
                 import lz4.frame
                 records = lz4.frame.decompress(payload)
-            except ImportError as e:
-                raise RuntimeError(
-                    "this MCAP uses lz4 chunk compression and no lz4 module "
-                    "is available; re-record with zstd or install lz4") from e
+            except ImportError:
+                from .lz4f import decompress_frame
+                records = decompress_frame(payload)
         else:
             raise ValueError(f"unknown chunk compression {compression!r}")
         for op, body in self._iter_records(records):
@@ -199,13 +198,13 @@ class McapWriter:
         else:
             self._f = open(path_or_file, "wb")
             self._owns = True
-        assert compression in ("", "zstd")
+        assert compression in ("", "zstd", "lz4")
         self.compression = compression
         self._schemas: dict[str, int] = {}
         self._channels: dict[str, int] = {}
         self._schema_recs: list[bytes] = []
         self._channel_recs: list[bytes] = []
-        self._messages: list[bytes] = []
+        self._messages: list[tuple[int, bytes]] = []
         self._f.write(MAGIC)
         self._record(OP_HEADER, self._string(profile) + self._string(
             "kinematic_icp_tpu"))
@@ -255,9 +254,32 @@ class McapWriter:
             publish_time_ns = log_time_ns
         body = struct.pack("<HIQQ", cid, sequence, log_time_ns,
                            publish_time_ns) + data
-        self._record(OP_MESSAGE, body)
+        if self.compression:
+            # buffer into one compressed Chunk, emitted at close
+            self._messages.append((log_time_ns,
+                                   self._record_bytes(OP_MESSAGE, body)))
+        else:
+            self._record(OP_MESSAGE, body)
+
+    def _flush_chunk(self):
+        if not self._messages:
+            return
+        records = b"".join(rec for _, rec in self._messages)
+        if self.compression == "zstd":
+            import zstandard
+            payload = zstandard.ZstdCompressor().compress(records)
+        else:  # lz4
+            from .lz4f import compress_frame
+            payload = compress_frame(records)
+        times = [t for t, _ in self._messages]
+        body = (struct.pack("<QQQI", min(times), max(times), len(records), 0)
+                + self._string(self.compression)
+                + struct.pack("<Q", len(payload)) + payload)
+        self._record(OP_CHUNK, body)
+        self._messages.clear()
 
     def close(self):
+        self._flush_chunk()
         self._record(OP_DATA_END, struct.pack("<I", 0))
         # footer: summary_start(8) summary_offset_start(8) summary_crc(4)
         self._record(OP_FOOTER, struct.pack("<QQI", 0, 0, 0))
