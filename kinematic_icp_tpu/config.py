@@ -71,6 +71,12 @@ class Config:
     #: costs more than it saves and degrades ATE (GN pose updates move far
     #: enough to change NN winners) — available for experimentation only.
     gn_candidates_per_voxel: int = 0
+    #: GN solver lowering: "pallas" fuses the whole candidate-cached loop
+    #: into one TPU kernel (ops/pallas_gn.py — removes ~25 us/iteration of
+    #: fusion-launch overhead), "xla" uses the lax.while_loop lowering,
+    #: "auto" picks pallas on TPU and xla elsewhere.  Ignored (xla) when
+    #: exact_gn_reassociation is set.
+    gn_backend: str = "auto"
 
     def __post_init__(self):
         assert self.map_capacity & (self.map_capacity - 1) == 0, (

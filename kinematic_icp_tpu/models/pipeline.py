@@ -134,7 +134,8 @@ def register_frame(state: OdometryState, points, timestamps, mask,
         fixed_regularization=config.fixed_regularization,
         num_candidate_voxels=config.neighbor_candidates,
         exact_gn_reassociation=config.exact_gn_reassociation,
-        gn_candidates_per_voxel=config.gn_candidates_per_voxel)
+        gn_candidates_per_voxel=config.gn_candidates_per_voxel,
+        gn_backend=config.gn_backend)
 
     # odometry_error = (last * rel_odom)^-1 * new  (KinematicICP.cpp:75).
     prediction = se3.compose44(state.pose, relative_odometry)

@@ -164,15 +164,40 @@ def compute_robot_motion(m: hashmap.MapState, source: P3, source_mask,
                          fixed_regularization: float,
                          num_candidate_voxels: int = 27,
                          exact_gn_reassociation: bool = False,
-                         gn_candidates_per_voxel: int = 0):
+                         gn_candidates_per_voxel: int = 0,
+                         gn_backend: str = "auto"):
     """Full ComputeRobotMotion (Registration.cpp:151-190).
 
     By default candidate map points are gathered ONCE at the initial guess
     and GN iterations re-select among them (gather-free);
     ``exact_gn_reassociation`` restores the reference's full re-gather per
-    iteration.  Returns (new_pose (4, 4), RegistrationDebug).
+    iteration.  ``gn_backend``: "pallas" fuses the whole candidate-cached
+    loop into one TPU kernel (ops/pallas_gn.py), "xla" uses the lax
+    while_loop, "auto" picks pallas on TPU.  Returns (new_pose (4, 4),
+    RegistrationDebug).
     """
     guess = se3.compose44(last_pose, relative_wheel_odometry)
+
+    if gn_backend == "auto":
+        gn_backend = ("pallas" if jax.default_backend() == "tpu" else "xla")
+
+    if gn_backend == "pallas" and not exact_gn_reassociation:
+        from . import pallas_gn
+
+        world_guess = transform(guess, source)
+        cand = hashmap.gather_candidates(
+            m, world_guess, voxel_size, max_probes, num_candidate_voxels)
+        if gn_candidates_per_voxel:
+            cand = hashmap.reduce_candidates(
+                cand, world_guess, gn_candidates_per_voxel, voxel_size)
+        pose, iters, num_corr = pallas_gn.gn_solve(
+            cand, source, source_mask, guess, max_correspondence_distance,
+            voxel_size=voxel_size, max_num_iterations=max_num_iterations,
+            convergence_criterion=convergence_criterion,
+            use_adaptive_regularization=use_adaptive_odometry_regularization,
+            fixed_regularization=fixed_regularization)
+        return pose, RegistrationDebug(iterations=iters,
+                                       num_correspondences=num_corr)
 
     if exact_gn_reassociation:
         def associate(pose):

@@ -92,6 +92,11 @@ class LidarModel:
     #: sub-voxel structure instead of a perfect plane
     ground_roughness: float = 0.02
 
+    def __post_init__(self):
+        assert len(self.ring_angles_deg) == self.num_rings, (
+            f"{self.num_rings} rings need {self.num_rings} ring_angles_deg "
+            f"(got {len(self.ring_angles_deg)})")
+
 
 def render_scan(world: SyntheticWorld, lidar: LidarModel, pose_start,
                 pose_end, rng):
