@@ -179,7 +179,17 @@ def compute_robot_motion(m: hashmap.MapState, source: P3, source_mask,
     guess = se3.compose44(last_pose, relative_wheel_odometry)
 
     if gn_backend == "auto":
-        gn_backend = ("pallas" if jax.default_backend() == "tpu" else "xla")
+        # The fused kernel keeps 4 (V*K, N) f32/u32 planes VMEM-resident plus
+        # ~2 planes of Mosaic stack temporaries (d2/key); pick it only when
+        # that footprint fits comfortably under the 16 MB scoped-VMEM limit
+        # (e.g. max_source=4096 with 200 candidate rows needs ~19 MB and
+        # must take the XLA while_loop path instead).
+        k = m.block_size
+        rows = num_candidate_voxels * (gn_candidates_per_voxel or k)
+        n = source.x.shape[-1]
+        fits = 6 * rows * n * 4 <= 13 * 2**20
+        gn_backend = ("pallas" if jax.default_backend() == "tpu" and fits
+                      else "xla")
 
     if gn_backend == "pallas" and not exact_gn_reassociation:
         from . import pallas_gn
