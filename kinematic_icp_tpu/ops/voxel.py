@@ -86,6 +86,11 @@ def packable_span(voxel_size: float, max_extent: float | None) -> bool:
     return max_extent / voxel_size + 8 < 1024
 
 
+#: width at which the packed-word (quantized-payload) sort path engages;
+#: below this the sorts are cheap and points stay exact f32.
+PACKED_WORD_MIN_N = 32768
+
+
 def voxel_downsample(p: P3, mask, voxel_size: float, out_size: int,
                      max_extent: float | None = None):
     """Keep the first (in input order) point of each occupied voxel.
@@ -107,34 +112,86 @@ def voxel_downsample(p: P3, mask, voxel_size: float, out_size: int,
     dynamic containers drop nothing, so ``num_dropped`` (scalar int32, the
     count of occupied voxels past capacity) is surfaced for the caller to
     gate or warn on (choose capacities so it stays 0).
+
+    At widths >= ``PACKED_WORD_MIN_N`` with a packable span, the point
+    payload rides the two grouping sorts as ONE u32 of 10-bit-per-axis
+    within-voxel offsets instead of three f32 planes (TPU sort cost is
+    ~linear in operand count: 5 -> 3 operands is ~1.6x cheaper at 64K).
+    Surviving points are reconstructed to bin centers, quantizing them by
+    at most voxel_size/2048 per axis (0.24 mm at the 0.5 m map-update
+    grid — 4x below the hash map's own 10-bit point packing, and ~100x
+    below the reference's own input-order sensitivity; see
+    tests/test_differential.py::TestChaosFloor).  First-point-wins is
+    exact: the input index is the sort's tie-break key, and equal
+    (voxel, word) pairs reconstruct identically.
     """
     cx, cy, cz = voxel_coords_planar(p, voxel_size)
-
-    # Stable sort; stability keeps the first input point at the head of
-    # each equal-key run ("first point wins").
-    if packable_span(voxel_size, max_extent):
-        key = pack_rebased_keys(cx, cy, cz, mask)
-        key, sx, sy, sz = jax.lax.sort(
-            (key, p.x, p.y, p.z), num_keys=1, is_stable=True)
-        valid = key != jnp.uint32(PACKED_KEY_SENTINEL)
-        head = key != jnp.roll(key, 1)
-    else:
-        cx = jnp.where(mask, cx, SENTINEL)
-        cy = jnp.where(mask, cy, SENTINEL)
-        cz = jnp.where(mask, cz, SENTINEL)
-        cx, cy, cz, sx, sy, sz = jax.lax.sort(
-            (cx, cy, cz, p.x, p.y, p.z), num_keys=3, is_stable=True)
-        valid = cx != SENTINEL
-        head = ((cx != jnp.roll(cx, 1)) | (cy != jnp.roll(cy, 1))
-                | (cz != jnp.roll(cz, 1)))
-    head = head.at[0].set(True) & valid
-
-    # Compact heads to the front with one more sort (element scatters cost
-    # ~10 ns each on TPU; a 4-operand 8K sort is ~an order cheaper).  The
-    # key is the sorted position for heads, so head order is preserved.
     n = cx.shape[0]
-    key = jnp.where(head, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
-    _, ox, oy, oz = jax.lax.sort((key, sx, sy, sz), num_keys=1)
+    inv = 1.0 / voxel_size
+
+    packed_words = (packable_span(voxel_size, max_extent)
+                    and n >= PACKED_WORD_MIN_N)
+    if packed_words:
+        key = pack_rebased_keys(cx, cy, cz, mask)
+        # 10-bit within-voxel offsets; reconstruction adds the half-bin.
+        wx = jnp.clip((p.x * inv - cx) * 1024.0, 0, 1023).astype(jnp.uint32)
+        wy = jnp.clip((p.y * inv - cy) * 1024.0, 0, 1023).astype(jnp.uint32)
+        wz = jnp.clip((p.z * inv - cz) * 1024.0, 0, 1023).astype(jnp.uint32)
+        word = jnp.where(mask, (wx << 20) | (wy << 10) | wz, jnp.uint32(0))
+        idx = jnp.arange(n, dtype=jnp.int32)
+        # (key, idx) is unique, so the unstable 2-key sort IS the stable
+        # 1-key sort, without XLA's appended-iota operand.
+        key, _, word = jax.lax.sort((key, idx, word), num_keys=2,
+                                    is_stable=False)
+        valid = key != jnp.uint32(PACKED_KEY_SENTINEL)
+        head = (key != jnp.roll(key, 1)).at[0].set(True) & valid
+        pos = jnp.where(head, idx, jnp.int32(n))
+        # pos is unique for heads; garbage rows sort last and are masked.
+        _, fkey, fword = jax.lax.sort((pos, key, word), num_keys=1,
+                                      is_stable=False)
+        big = jnp.int32(1 << 30)
+        mnx = jnp.min(jnp.where(mask, cx, big))
+        mny = jnp.min(jnp.where(mask, cy, big))
+        mnz = jnp.min(jnp.where(mask, cz, big))
+        ten = jnp.uint32(1023)
+        half = jnp.float32(0.5 / 1024.0)
+
+        def rec(kshift, wshift, mn):
+            c = ((fkey >> kshift) & ten).astype(jnp.int32) + mn
+            o = ((fword >> wshift) & ten).astype(jnp.float32)
+            return (c.astype(jnp.float32) + o * (1.0 / 1024.0) + half
+                    ) * voxel_size
+
+        ox = rec(20, 20, mnx)
+        oy = rec(10, 10, mny)
+        oz = rec(0, 0, mnz)
+    else:
+        # Stable sort; stability keeps the first input point at the head of
+        # each equal-key run ("first point wins").
+        if packable_span(voxel_size, max_extent):
+            key = pack_rebased_keys(cx, cy, cz, mask)
+            key, sx, sy, sz = jax.lax.sort(
+                (key, p.x, p.y, p.z), num_keys=1, is_stable=True)
+            valid = key != jnp.uint32(PACKED_KEY_SENTINEL)
+            head = key != jnp.roll(key, 1)
+        else:
+            cx = jnp.where(mask, cx, SENTINEL)
+            cy = jnp.where(mask, cy, SENTINEL)
+            cz = jnp.where(mask, cz, SENTINEL)
+            cx, cy, cz, sx, sy, sz = jax.lax.sort(
+                (cx, cy, cz, p.x, p.y, p.z), num_keys=3, is_stable=True)
+            valid = cx != SENTINEL
+            head = ((cx != jnp.roll(cx, 1)) | (cy != jnp.roll(cy, 1))
+                    | (cz != jnp.roll(cz, 1)))
+        head = head.at[0].set(True) & valid
+
+        # Compact heads to the front with one more sort (element scatters
+        # cost ~10 ns each on TPU; a sort is ~an order cheaper).  The key is
+        # the sorted position for heads — unique, so no stability needed —
+        # and head order is preserved.
+        key = jnp.where(head, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
+        _, ox, oy, oz = jax.lax.sort((key, sx, sy, sz), num_keys=1,
+                                     is_stable=False)
     if out_size <= n:
         out = P3(ox[:out_size], oy[:out_size], oz[:out_size])
     else:

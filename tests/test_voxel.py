@@ -102,6 +102,36 @@ class TestVoxelDownsample:
         kept = out[out_mask]
         assert len(kept) == 2
 
+    def test_packed_word_path_matches_oracle(self):
+        # Wide-enough input to engage the quantized-payload sort path
+        # (voxel.PACKED_WORD_MIN_N); first-point-wins must hold exactly and
+        # the representative must be the oracle's point to within the
+        # documented half-bin quantization (voxel_size / 2048 per axis).
+        n = voxel.PACKED_WORD_MIN_N
+        vs = 0.5
+        pts = RNG.uniform(-30, 30, size=(n, 3)).astype(np.float32)
+        # inject duplicates-in-voxel with a known first occurrence
+        pts[1000] = [10.26, 10.26, 10.26]
+        pts[20000] = [10.24, 10.24, 10.24]  # same 0.5-voxel, later index
+        mask = np.ones(n, bool)
+        out, out_mask, dropped = voxel.voxel_downsample(
+            P3.from_array(jnp.asarray(pts)), jnp.asarray(mask), vs,
+            n, max_extent=120.0)
+        ours = np.asarray(out.to_array())[np.asarray(out_mask)]
+        ref = oracle_downsample(pts.astype(np.float64), vs)
+        assert int(dropped) == 0
+        assert len(ours) == len(ref)
+        # voxel sets identical
+        vox = lambda a: {tuple(v) for v in np.floor(a / vs).astype(np.int64)}
+        assert vox(ours) == vox(ref)
+        # representatives match the oracle's first point to the half-bin
+        by_vox = {tuple(np.floor(p / vs).astype(np.int64)): p for p in ref}
+        tol = vs / 2048 + 1e-5
+        for q in ours:
+            r = by_vox[tuple(np.floor(q.astype(np.float64) / vs)
+                             .astype(np.int64))]
+            assert np.all(np.abs(q - r) <= tol), (q, r)
+
     def test_double_downsample_counts(self):
         pts = RNG.uniform(-30, 30, size=(2000, 3)).astype(np.float32)
         mask = np.ones(2000, bool)

@@ -43,10 +43,18 @@ def device_ms(make_body, init_carry, reps=REPS):
 
 
 def main():
-    cfg = Config(max_points=8192, max_downsampled=8192, max_source=4096,
-                 map_capacity=1 << 16, voxel_size=1.0, max_range=60.0,
-                 deskew=True)
-    seq = synthetic.make_sequence(30)
+    large = "--large" in sys.argv
+    if large:
+        cfg = Config(max_points=65536, max_downsampled=8192, max_source=1024,
+                     map_capacity=1 << 16, voxel_size=1.0, max_range=60.0,
+                     deskew=True)
+        seq = synthetic.make_sequence(30, lidar=synthetic.realistic_lidar(),
+                                      clear_path_margin=3.0)
+    else:
+        cfg = Config(max_points=8192, max_downsampled=8192, max_source=4096,
+                     map_capacity=1 << 16, voxel_size=1.0, max_range=60.0,
+                     deskew=True)
+        seq = synthetic.make_sequence(30)
     pts, ts, mask, has_ts, rels = pad_sequence(seq["frames"], seq["rel_odometry"], cfg)
 
     step = pipeline.make_step(cfg, donate=False)
@@ -67,7 +75,7 @@ def main():
     frame, fmask = preprocessing.preprocess(
         p, tsk, mk, rel, min_range=cfg.min_range, max_range=cfg.max_range,
         deskew_enabled=True, has_timestamps=jnp.bool_(True))
-    source, smask, fds, fdsmask = voxel.double_downsample(
+    source, smask, fds, fdsmask, _ = voxel.double_downsample(
         frame, fmask, cfg.voxel_size, max_downsampled=cfg.max_downsampled,
         max_source=cfg.max_source)
     world = transform(state.pose, source)
@@ -81,18 +89,20 @@ def main():
         p)
     print(f"preprocess        {t:8.3f} ms")
 
-    t = device_ms(
-        lambda c: voxel.double_downsample(
+    def dds_body(c):
+        out = voxel.double_downsample(
             P3(c.x + 1e-9, c.y, c.z), fmask, cfg.voxel_size,
-            max_downsampled=cfg.max_downsampled, max_source=cfg.max_source)[2],
-        frame)
+            max_downsampled=cfg.max_downsampled, max_source=cfg.max_source)
+        return P3(c.x + out[2].x[0] * 1e-12, c.y, c.z)
+    t = device_ms(dds_body, frame)
     print(f"double_downsample {t:8.3f} ms")
 
     def gc_body(c):
         cand = hashmap.gather_candidates(
             state.map, P3(c.x + 1e-9, c.y, c.z), cfg.voxel_size,
             cfg.max_probes, cfg.neighbor_candidates)
-        return P3(c.x + cand.x[0, :, 0] * 1e-12, c.y, c.z)
+        return P3(c.x + cand.words[0, 0, 0].astype(jnp.float32) * 1e-12,
+                  c.y, c.z)
     print(f"gather_candidates {device_ms(gc_body, world):8.3f} ms")
 
     def gn_body(c):
