@@ -604,13 +604,20 @@ def insert(m: MapState, p: P3, mask, voxel_size: float, max_probes: int,
     # --- append words: one scattered u32 per stored point -----------------
     # (element scatters cost ~5 ns/element regardless of shape; whole-row
     # scatters and gather/select table rebuilds measured 3-10x slower)
+    # The table is FLATTENED around the scatter/cond region: a 1-D array has
+    # a single possible layout, whereas the 2-D form let XLA assign the
+    # lax.cond result a column-major layout and insert two full-table
+    # (6.3 MB) transposes per frame.  The reshapes below are free bitcasts.
+    row_lanes = g * r
+    size = m.num_buckets * row_lanes
     dest_k = base + lane
     ok = has_slot & (dest_k < kmax)
     words = pack_offsets(P3(sx, sy, sz), cx, cy, cz, voxel_size)   # (n,)
     safe_sub = jnp.minimum(sub, g - 1)
-    table = m.table.at[jnp.where(ok, bucket_key, m.num_buckets),
-                       safe_sub * r + jnp.minimum(dest_k, kmax - 1)
-                       ].set(words, mode="drop")
+    flat_idx = (bucket_key * row_lanes + safe_sub * r
+                + jnp.minimum(dest_k, kmax - 1))
+    table = m.table.reshape(-1).at[jnp.where(ok, flat_idx, size)
+                                   ].set(words, mode="drop")
 
     # --- meta lanes (fingerprint + exact key) for fresh voxels ------------
     fresh = head & ~found & (tgt < g)
@@ -619,34 +626,50 @@ def insert(m: MapState, p: P3, mask, voxel_size: float, max_probes: int,
 
     def scatter_meta(tbl, rows_idx, lane_base, fp, ux, uy, uz, write):
         meta = jnp.stack((fp, ux, uy, uz), axis=-1)
-        return tbl.at[jnp.where(write, rows_idx, tbl.shape[0])[:, None],
-                      lane_base[:, None] + four].set(meta, mode="drop")
-
-    def compact_path(tbl):
-        # Sort carries only (slot-in-key, voxel coords); bucket/fingerprint
-        # are recomputed on the compacted rows (fresh_capacity of them).
-        ckey = jnp.where(fresh, safe_sub, jnp.int32(g))
-        ckey, ccx, ccy, ccz = jax.lax.sort(
-            (ckey, cx, cy, cz), num_keys=1)
-        keep = slice(0, fresh_capacity)
-        ckey, ccx, ccy, ccz = (a[keep] for a in (ckey, ccx, ccy, ccz))
-        cw = jnp.arange(fresh_capacity, dtype=jnp.int32) < num_fresh
-        clane0 = jnp.minimum(ckey, g - 1) * r + kmax
-        return scatter_meta(tbl, bucket_of(ccx, ccy, ccz, m.num_buckets),
-                            clane0, fingerprint(ccx, ccy, ccz),
-                            ccx.astype(jnp.uint32), ccy.astype(jnp.uint32),
-                            ccz.astype(jnp.uint32), cw)
-
-    def full_path(tbl):
-        return scatter_meta(tbl, bucket_key, safe_sub * r + kmax, fpq,
-                            ukx, uky, ukz, fresh)
+        base_idx = jnp.where(write, rows_idx * row_lanes + lane_base, size)
+        return tbl.at[base_idx[:, None] + four].set(meta, mode="drop")
 
     if fresh_capacity >= n:
-        table = full_path(table)
+        table = scatter_meta(table, bucket_key, safe_sub * r + kmax, fpq,
+                             ukx, uky, ukz, fresh)
     else:
-        table = jax.lax.cond(num_fresh > fresh_capacity,
-                             full_path, compact_path, table)
-    out = MapState(table=table, bucket_slots=g)
+        # Compact fresh rows to the front (one small sort), then scatter
+        # their meta in fresh_capacity-wide chunks from a lax.while_loop:
+        # steady state is ONE trip (tens of fresh voxels), a stationary
+        # frame is ZERO trips, and bootstrap/teleport frames take
+        # ceil(num_fresh / fresh_capacity) trips — exact for any count.
+        # A while_loop (unlike lax.cond, which copied the 6 MB table into
+        # and out of its branches, ~80 us/frame) aliases its carry in
+        # place, so each trip costs only the chunk's element scatter.
+        ckey = jnp.where(fresh, safe_sub, jnp.int32(g))
+        ckey, ccx, ccy, ccz = jax.lax.sort(
+            (ckey, cx, cy, cz), num_keys=1, is_stable=False)
+        rounds = (num_fresh + fresh_capacity - 1) // fresh_capacity
+
+        def chunk_body(state):
+            j, tbl = state
+            # dynamic_slice clamps its start to n - size; clamp explicitly
+            # so the write mask matches the rows actually sliced (the final
+            # partial chunk then re-writes a few earlier rows with
+            # identical values — idempotent).
+            off = jnp.minimum(j * fresh_capacity, n - fresh_capacity)
+            kk = jax.lax.dynamic_slice(ckey, (off,), (fresh_capacity,))
+            kx = jax.lax.dynamic_slice(ccx, (off,), (fresh_capacity,))
+            ky = jax.lax.dynamic_slice(ccy, (off,), (fresh_capacity,))
+            kz = jax.lax.dynamic_slice(ccz, (off,), (fresh_capacity,))
+            cw = (jnp.arange(fresh_capacity, dtype=jnp.int32) + off
+                  ) < num_fresh
+            tbl = scatter_meta(
+                tbl, bucket_of(kx, ky, kz, m.num_buckets),
+                jnp.minimum(kk, g - 1) * r + kmax, fingerprint(kx, ky, kz),
+                kx.astype(jnp.uint32), ky.astype(jnp.uint32),
+                kz.astype(jnp.uint32), cw)
+            return j + 1, tbl
+
+        _, table = jax.lax.while_loop(
+            lambda s: s[0] < rounds, chunk_body, (jnp.int32(0), table))
+    out = MapState(table=table.reshape(m.num_buckets, row_lanes),
+                   bucket_slots=g)
     if return_failed:
         failed = jnp.sum((head & ~found & (tgt >= g)).astype(jnp.int32))
         return out, failed
