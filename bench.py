@@ -112,11 +112,19 @@ def time_tpu_sequence(cfg, seq, runs=BENCH_RUNS):
     }
 
 
-def run_native(cfg, seq):
+def run_native(cfg, seq, repeats=1):
+    """Run the native baseline; best-of-``repeats`` fps (the CPU shares the
+    box with the tunnel/session processes, so single runs jitter ~30%)."""
     from kinematic_icp_tpu import baseline_native
     poses, stats = baseline_native.run_baseline(
         cfg, seq["frames"], seq["rel_odometry"], seq["extrinsic"],
         num_threads=0)
+    for _ in range(repeats - 1):
+        _, s2 = baseline_native.run_baseline(
+            cfg, seq["frames"], seq["rel_odometry"], seq["extrinsic"],
+            num_threads=0)
+        if s2["fps"] > stats["fps"]:
+            stats = s2
     return poses, stats
 
 
@@ -175,7 +183,7 @@ def main():
 
     # ---- headline: realistic large frames --------------------------------
     cfg_large = Config(max_points=65536, max_downsampled=8192,
-                       max_source=1024, map_capacity=1 << 16,
+                       max_source=1024, map_capacity=1 << 15,
                        voxel_size=1.0, max_range=60.0, deskew=True)
     seq_large = synthetic.make_sequence(
         LARGE_FRAMES, lidar=synthetic.realistic_lidar(),
@@ -184,7 +192,7 @@ def main():
 
     fps_large, poses_large, extras_large = time_tpu_sequence(
         cfg_large, seq_large)
-    native_poses, native_stats = run_native(cfg_large, seq_large)
+    native_poses, native_stats = run_native(cfg_large, seq_large, repeats=2)
     ate_vs_native = ate_rmse(list(native_poses), list(poses_large),
                              align=False)
     ate_vs_gt = ate_rmse(seq_large["gt_poses"], list(poses_large),
@@ -203,7 +211,7 @@ def main():
         "workload": {
             "frames": LARGE_FRAMES,
             "mean_points_per_frame": round(mean_pts),
-            "config": "max_points=65536 voxel=1.0 max_range=60 deskew",
+            "config": "max_points=65536 voxel=1.0 max_range=60 deskew map_capacity=32768 (8x measured occupancy; overflow-counted)",
         },
         "calibration_ms_per_dispatch": round(calib_ms, 2),
         "attempts": _ATTEMPT + 1,

@@ -616,8 +616,36 @@ def insert(m: MapState, p: P3, mask, voxel_size: float, max_probes: int,
     safe_sub = jnp.minimum(sub, g - 1)
     flat_idx = (bucket_key * row_lanes + safe_sub * r
                 + jnp.minimum(dest_k, kmax - 1))
-    table = m.table.reshape(-1).at[jnp.where(ok, flat_idx, size)
-                                   ].set(words, mode="drop")
+    table = m.table.reshape(-1)
+    if n >= 4096:
+        # Element scatters cost ~5 ns per UPDATE row whether or not it is
+        # dropped, and in steady state most points land in already-full
+        # blocks (ok=False).  Compact the stored rows with one cheap sort,
+        # then scatter word-chunks from a while_loop: one trip in steady
+        # state, ceil(stored / chunk) trips on bootstrap frames — exact for
+        # any count (chunk overlap from the clamp re-writes identical
+        # values).
+        wcap = min(n, 2048)
+        okpos = jnp.where(ok, iota, jnp.int32(n))
+        _, c_idx, c_words = jax.lax.sort(
+            (okpos, flat_idx, words), num_keys=1, is_stable=False)
+        num_ok = jnp.sum(ok.astype(jnp.int32))
+        wrounds = (num_ok + wcap - 1) // wcap
+
+        def words_body(state):
+            j, tbl = state
+            off = jnp.minimum(j * wcap, n - wcap)
+            ii = jax.lax.dynamic_slice(c_idx, (off,), (wcap,))
+            ww = jax.lax.dynamic_slice(c_words, (off,), (wcap,))
+            wr = (jnp.arange(wcap, dtype=jnp.int32) + off) < num_ok
+            tbl = tbl.at[jnp.where(wr, ii, size)].set(ww, mode="drop")
+            return j + 1, tbl
+
+        _, table = jax.lax.while_loop(
+            lambda s: s[0] < wrounds, words_body, (jnp.int32(0), table))
+    else:
+        table = table.at[jnp.where(ok, flat_idx, size)].set(words,
+                                                            mode="drop")
 
     # --- meta lanes (fingerprint + exact key) for fresh voxels ------------
     fresh = head & ~found & (tgt < g)
