@@ -38,6 +38,11 @@ def build_arg_parser():
     p.add_argument("--max-points", type=int, default=65536,
                    help="padded per-scan point capacity")
     p.add_argument("--no-progress", action="store_true")
+    p.add_argument("--visualize", action="store_true",
+                   help="also write <bag>_kinematic_icp_view.html — a "
+                        "standalone interactive 3D view of the trajectory "
+                        "and final local map (the RViz-profile equivalent; "
+                        "mirrors the reference launch files' visualize arg)")
     return p
 
 
@@ -104,6 +109,15 @@ def run(args) -> str:
         return out_path
     server.write_tum(out_path)
     print(f"wrote {processed} poses to {out_path}")
+
+    if args.visualize and server.poses_with_stamps:
+        from .utils.viewer import write_html_viewer
+        poses = np.stack([p for _, p in server.poses_with_stamps])
+        html_path = os.path.join(out_dir, f"{stem}_kinematic_icp_view.html")
+        write_html_viewer(html_path, title=stem,
+                          local_map=server.local_map_pointcloud(),
+                          trajectory=poses)
+        print(f"wrote viewer to {html_path}")
     return out_path
 
 

@@ -51,3 +51,39 @@ class TestRunOdometry:
             "--max-points", "8192", "--no-progress"])
         stamps, poses = read_tum(out)
         assert len(poses) == 5
+
+    def test_visualize_writes_standalone_html(self, bag, tmp_path):
+        path, _ = bag
+        run_odometry.main([
+            path, "--max-frames", "5", "--output-dir", str(tmp_path),
+            "--max-points", "8192", "--no-progress", "--visualize"])
+        html = tmp_path / "drive_kinematic_icp_view.html"
+        assert html.exists()
+        text = html.read_text()
+        # standalone: no external assets, both rviz-equivalent layers present
+        assert "http" not in text.split("<script>")[1]
+        assert '"local_map"' in text and '"trajectory"' in text
+
+
+class TestViewer:
+    def test_layers_and_pose_translation_extraction(self, tmp_path):
+        from kinematic_icp_tpu.utils.viewer import write_html_viewer
+        rng = np.random.default_rng(0)
+        poses = np.tile(np.eye(4, dtype=np.float64), (7, 1, 1))
+        poses[:, 0, 3] = np.arange(7)
+        out = write_html_viewer(
+            str(tmp_path / "v.html"),
+            local_map=rng.normal(size=(50, 3)),
+            keypoints=rng.normal(size=(5, 3)),
+            trajectory=poses,
+            voxel_grid=rng.normal(size=(4, 2, 3)))
+        text = open(out).read()
+        for name in ("local_map", "keypoints", "trajectory", "voxel_grid"):
+            assert f'"{name}"' in text
+        assert "6.0" in text  # trajectory x translations made it into data
+
+    def test_empty_raises(self, tmp_path):
+        from kinematic_icp_tpu.utils.viewer import write_html_viewer
+        with pytest.raises(ValueError):
+            write_html_viewer(str(tmp_path / "v.html"),
+                              local_map=np.zeros((0, 3)))
