@@ -38,6 +38,19 @@ class RegistrationDebug(NamedTuple):
     num_correspondences: jnp.ndarray  # int32 — at the last association
 
 
+def pallas_gn_fits(candidate_rows: int, num_queries: int) -> bool:
+    """Static check: does the fused GN kernel's VMEM footprint fit?
+
+    The kernel (ops/pallas_gn.py) keeps 4 (rows, N) f32/u32 planes resident
+    plus ~2 planes of Mosaic stack temporaries (d2 / packed key), against
+    the 16 MB scoped-VMEM limit; 13 MB leaves headroom for the source
+    planes and params.  E.g. rows=200, N=1024 (the 64K realistic regime)
+    needs ~4.9 MB and fits; N=4096 needs ~19.7 MB and must take the XLA
+    while_loop path (it OOMs scoped VMEM at compile time otherwise).
+    """
+    return 6 * candidate_rows * num_queries * 4 <= 13 * 2**20
+
+
 def data_association(m: hashmap.MapState, source: P3, source_mask, pose,
                      max_correspondence_distance, voxel_size: float,
                      max_probes: int, num_candidate_voxels: int = 27):
@@ -179,15 +192,9 @@ def compute_robot_motion(m: hashmap.MapState, source: P3, source_mask,
     guess = se3.compose44(last_pose, relative_wheel_odometry)
 
     if gn_backend == "auto":
-        # The fused kernel keeps 4 (V*K, N) f32/u32 planes VMEM-resident plus
-        # ~2 planes of Mosaic stack temporaries (d2/key); pick it only when
-        # that footprint fits comfortably under the 16 MB scoped-VMEM limit
-        # (e.g. max_source=4096 with 200 candidate rows needs ~19 MB and
-        # must take the XLA while_loop path instead).
-        k = m.block_size
-        rows = num_candidate_voxels * (gn_candidates_per_voxel or k)
-        n = source.x.shape[-1]
-        fits = 6 * rows * n * 4 <= 13 * 2**20
+        rows = num_candidate_voxels * (gn_candidates_per_voxel
+                                       or m.block_size)
+        fits = pallas_gn_fits(rows, source.x.shape[-1])
         gn_backend = ("pallas" if jax.default_backend() == "tpu" and fits
                       else "xla")
 

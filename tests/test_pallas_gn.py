@@ -84,3 +84,12 @@ class TestPallasGN:
             m, source, mask, guess, rel, 0.5, gn_backend="xla", **KW)
         assert jax.default_backend() == "cpu"
         np.testing.assert_array_equal(np.asarray(p_auto), np.asarray(p_xla))
+
+    def test_vmem_fit_predicate(self):
+        # 64K realistic regime: 10 candidate voxels x 20 points, 1024
+        # queries -> fits; the small regime's old max_source=4096 did not
+        # (it OOMed the 16 MB scoped VMEM at compile time on hardware).
+        assert registration.pallas_gn_fits(200, 1024)
+        assert registration.pallas_gn_fits(200, 2048)
+        assert not registration.pallas_gn_fits(200, 4096)
+        assert not registration.pallas_gn_fits(27 * 20, 2048)
