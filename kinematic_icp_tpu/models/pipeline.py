@@ -66,8 +66,9 @@ def set_pose(state: OdometryState, pose, config: Config) -> OdometryState:
 
 def register_frame(state: OdometryState, points, timestamps, mask,
                    has_timestamps, lidar_to_base, relative_odometry,
-                   config: Config,
-                   active=None) -> tuple[OdometryState, FrameOutputs]:
+                   config: Config, active=None,
+                   rel_twist_in_lidar=None
+                   ) -> tuple[OdometryState, FrameOutputs]:
     """One odometry step (KinematicICP.cpp:48-85).
 
     Args:
@@ -85,22 +86,29 @@ def register_frame(state: OdometryState, points, timestamps, mask,
         byte-identical to the input.  Folding the gate in here lets the map
         update mask its writes instead of the caller selecting between two
         full map tables after the fact.
+      rel_twist_in_lidar: optional precomputed (6,)
+        ``se3_log(lidar_to_base^-1 @ relative_odometry @ lidar_to_base)``.
+        The conjugation + matrix log are pose-independent per frame, so
+        sequence runners hoist them out of the scan body (vectorized over
+        all frames) — ~15 tiny fusions (~launch-bound) saved per frame.
     """
     dtype = state.pose.dtype
     # Host boundary: (N, 3) -> planar SoA once per frame.
     p = P3.from_array(points).astype(dtype)
 
-    # Deskew happens in the lidar frame: conjugate the base-frame odometry by
-    # the extrinsic (KinematicICP.cpp:53-55).
-    ext_inv = se3.inverse(lidar_to_base)
-    rel_odom_in_lidar = se3.compose44(
-        se3.compose44(ext_inv, relative_odometry), lidar_to_base)
-
     if config.deskew:
+        if rel_twist_in_lidar is None:
+            # Deskew happens in the lidar frame: conjugate the base-frame
+            # odometry by the extrinsic (KinematicICP.cpp:53-55).
+            ext_inv = se3.inverse(lidar_to_base)
+            rel_odom_in_lidar = se3.compose44(
+                se3.compose44(ext_inv, relative_odometry), lidar_to_base)
+            rel_twist_in_lidar = se3.se3_log(rel_odom_in_lidar)
         frame, frame_mask = preprocessing.preprocess(
-            p, timestamps, mask, rel_odom_in_lidar,
+            p, timestamps, mask, None,
             min_range=config.min_range, max_range=config.max_range,
-            deskew_enabled=True, has_timestamps=has_timestamps)
+            deskew_enabled=True, has_timestamps=has_timestamps,
+            twist=rel_twist_in_lidar)
     else:
         frame = p
         frame_mask = preprocessing.range_filter_mask(

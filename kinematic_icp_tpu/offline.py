@@ -24,14 +24,34 @@ from .ops import se3
 from .utils.compilation_cache import enable_compilation_cache
 
 
+def _per_frame_constants(rels, extrinsic, config: Config):
+    """Pose-independent per-frame values, vectorized over all frames.
+
+    Returns (active (F,), twists (F, 6) or None): the stationary-gate flag
+    (LidarOdometryServer.cpp:202) and the deskew twist
+    ``log(ext^-1 rel ext)`` (KinematicICP.cpp:53-55).  Computing these
+    inside the scan body cost ~15 launch-bound tiny fusions per frame.
+    """
+    logs = jax.vmap(se3.se3_log)(rels)
+    active = jnp.linalg.norm(logs, axis=-1) > 1e-3
+    twists = None
+    if config.deskew:
+        ext_inv = se3.inverse(extrinsic)
+        conj = jax.vmap(
+            lambda r: se3.compose44(se3.compose44(ext_inv, r), extrinsic))(
+                rels)
+        twists = jax.vmap(se3.se3_log)(conj)
+    return active, twists
+
+
 def _gated_step(state, frame, config: Config, extrinsic):
-    pts, ts, mask, has_ts, rel = frame
-    # Stationary gate on device (LidarOdometryServer.cpp:202); folded into
-    # register_frame so the map update masks its writes instead of a
-    # full-table select between new and old state.
-    active = jnp.linalg.norm(se3.se3_log(rel)) > 1e-3
+    pts, ts, mask, has_ts, rel, active, twist = frame
+    # Stationary gate on device; folded into register_frame so the map
+    # update masks its writes instead of a full-table select between new
+    # and old state.
     state, out = pipeline.register_frame(
-        state, pts, ts, mask, has_ts, extrinsic, rel, config, active=active)
+        state, pts, ts, mask, has_ts, extrinsic, rel, config, active=active,
+        rel_twist_in_lidar=twist)
     return state, state.pose
 
 
@@ -44,12 +64,17 @@ def make_sequence_runner(config: Config):
             with jax.default_matmul_precision("highest"):
                 return _gated_step(carry, xs, config, extrinsic)
 
+        with jax.default_matmul_precision("highest"):
+            active, twists = _per_frame_constants(rels, extrinsic, config)
+        if twists is None:
+            twists = jnp.zeros((rels.shape[0], 0))
         # unroll=2: each scan trip boundary costs ~30-90 us of sequencer
         # overhead on top of the frame's ops (measured: 498 us/frame of
         # device-op time vs 590 us/frame of wall inside one dispatch);
         # unrolling halves the number of boundaries for 2x code size.
         final_state, poses = jax.lax.scan(
-            body, state, (pts, ts, mask, has_ts, rels), unroll=2)
+            body, state, (pts, ts, mask, has_ts, rels, active, twists),
+            unroll=2)
         return final_state, poses
 
     return jax.jit(run, donate_argnums=(0,))
@@ -70,14 +95,21 @@ def make_batched_sequence_runner(config: Config):
     """
 
     def run(state, pts, ts, mask, has_ts, extrinsic, rels):
-        def step_one(s, p, t, mk, ht, rel):
-            return _gated_step(s, (p, t, mk, ht, rel), config, extrinsic)
+        def step_one(s, p, t, mk, ht, rel, act, tw):
+            return _gated_step(s, (p, t, mk, ht, rel, act, tw), config,
+                               extrinsic)
 
         def body(carry, xs):
             with jax.default_matmul_precision("highest"):
                 return jax.vmap(step_one)(carry, *xs)
 
-        return jax.lax.scan(body, state, (pts, ts, mask, has_ts, rels))
+        with jax.default_matmul_precision("highest"):
+            active, twists = jax.vmap(
+                lambda r: _per_frame_constants(r, extrinsic, config))(rels)
+        if twists is None:
+            twists = jnp.zeros(rels.shape[:2] + (0,))
+        return jax.lax.scan(body, state,
+                            (pts, ts, mask, has_ts, rels, active, twists))
 
     return jax.jit(run, donate_argnums=(0,))
 

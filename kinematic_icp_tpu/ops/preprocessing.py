@@ -54,7 +54,17 @@ def deskew(p: P3, timestamps, relative_motion, enable) -> P3:
 
     which needs only per-point sin/cos against fixed vectors.
     """
-    xi = se3.se3_log(relative_motion)                  # (6,)
+    return deskew_from_twist(p, timestamps, se3.se3_log(relative_motion),
+                             enable)
+
+
+def deskew_from_twist(p: P3, timestamps, xi, enable) -> P3:
+    """``deskew`` given the precomputed twist ``xi = log(relative_motion)``.
+
+    The twist is pose-independent per frame, so batch runners hoist its
+    computation (extrinsic conjugation + matrix log, ~15 tiny fusions) out
+    of the scan body and precompute it vectorized over all frames.
+    """
     v = xi[:3]
     w = xi[3:]
     theta = jnp.linalg.norm(w)
@@ -123,13 +133,18 @@ def range_filter_mask(p: P3, mask, min_range: float, max_range: float):
 
 def preprocess(p: P3, timestamps, mask, relative_motion_in_lidar, *,
                min_range: float, max_range: float, deskew_enabled,
-               has_timestamps):
+               has_timestamps, twist=None):
     """Full Preprocessor::Preprocess equivalent.
 
     Returns (deskewed P3, mask) with the range filter applied to the
     deskewed coordinates (KISS-ICP v1.2.0 order: deskew first, then filter).
+    ``twist``: optional precomputed ``se3_log(relative_motion_in_lidar)``
+    (see ``deskew_from_twist``); when given the matrix log is skipped.
     """
     enable = jnp.logical_and(deskew_enabled, has_timestamps)
-    out = deskew(p, timestamps, relative_motion_in_lidar, enable)
+    if twist is not None:
+        out = deskew_from_twist(p, timestamps, twist, enable)
+    else:
+        out = deskew(p, timestamps, relative_motion_in_lidar, enable)
     new_mask = range_filter_mask(out, mask, min_range, max_range)
     return out, new_mask
