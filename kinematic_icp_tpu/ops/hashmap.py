@@ -484,7 +484,7 @@ def insert(m: MapState, p: P3, mask, voxel_size: float, max_probes: int,
         # a wide margin while keeping the meta scatter 16x narrower than
         # full width.  Bootstrap frames overflow into the exact full-width
         # fallback below.
-        fresh_capacity = max(128, n // 16)
+        fresh_capacity = max(128, n // 32)
     fresh_capacity = min(fresh_capacity, n)
     inv = 1.0 / voxel_size
     cx = jnp.floor(p.x * inv).astype(jnp.int32)
@@ -625,7 +625,7 @@ def insert(m: MapState, p: P3, mask, voxel_size: float, max_probes: int,
         # state, ceil(stored / chunk) trips on bootstrap frames — exact for
         # any count (chunk overlap from the clamp re-writes identical
         # values).
-        wcap = min(n, 2048)
+        wcap = min(n, 1024)
         okpos = jnp.where(ok, iota, jnp.int32(n))
         _, c_idx, c_words = jax.lax.sort(
             (okpos, flat_idx, words), num_keys=1, is_stable=False)
