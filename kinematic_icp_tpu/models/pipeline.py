@@ -143,16 +143,24 @@ def register_frame(state: OdometryState, points, timestamps, mask,
         num_candidate_voxels=config.neighbor_candidates,
         exact_gn_reassociation=config.exact_gn_reassociation,
         gn_candidates_per_voxel=config.gn_candidates_per_voxel,
-        gn_backend=config.gn_backend)
+        gn_backend=config.gn_backend,
+        threshold_max_range=config.max_range)
 
-    # odometry_error = (last * rel_odom)^-1 * new  (KinematicICP.cpp:75).
-    prediction = se3.compose44(state.pose, relative_odometry)
-    odometry_error = se3.compose44(se3.inverse(prediction), new_pose)
-
-    new_threshold = threshold.update_odometry_error(
-        state.threshold, odometry_error,
-        max_range=config.max_range,
-        use_adaptive=config.use_adaptive_threshold)
+    if debug.odometry_error_pt is not None:
+        # The fused kernel already computed the point-space error of
+        # guess^-1 @ new_pose in registers (KinematicICP.cpp:75 +
+        # CorrespondenceThreshold.cpp:37-44).
+        new_threshold = threshold.update_odometry_error_scalar(
+            state.threshold, debug.odometry_error_pt,
+            use_adaptive=config.use_adaptive_threshold)
+    else:
+        # odometry_error = (last * rel_odom)^-1 * new (KinematicICP.cpp:75).
+        prediction = se3.compose44(state.pose, relative_odometry)
+        odometry_error = se3.compose44(se3.inverse(prediction), new_pose)
+        new_threshold = threshold.update_odometry_error(
+            state.threshold, odometry_error,
+            max_range=config.max_range,
+            use_adaptive=config.use_adaptive_threshold)
 
     new_map, insert_failed = hashmap.update(
         state.map, frame_ds, frame_ds_mask, new_pose,

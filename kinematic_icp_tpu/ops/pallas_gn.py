@@ -84,7 +84,7 @@ def _motion_delta(dx0, dx1):
 
 def _kernel(params_ref, px_ref, py_ref, pz_ref, tag_ref,
             sx_ref, sy_ref, sz_ref, sm_ref,
-            pose_out_ref, stats_out_ref, *,
+            pose_out_ref, stats_out_ref, err_out_ref, *,
             max_num_iterations: int, convergence_criterion: float,
             use_adaptive_regularization: bool, fixed_regularization: float):
     px = px_ref[:]                      # (VK, N) candidate planes
@@ -231,18 +231,37 @@ def _kernel(params_ref, px_ref, py_ref, pz_ref, tag_ref,
     stats_out_ref[0, 0] = it
     stats_out_ref[0, 1] = jnp.sum(corr).astype(jnp.int32)
 
+    # Adaptive-threshold "odometry error in point space" of
+    # E = guess^-1 @ final (CorrespondenceThreshold.cpp:7-12): rotations
+    # preserve norms, so |t_E| = |t_final - t_guess|, and
+    # trace(R_guess^T R_final) is the Frobenius inner product of the two
+    # rotation blocks; sin(acos(c)/2) = sqrt((1-c)/2) exactly.
+    dtx = t0 - P(9)
+    dty = t1 - P(10)
+    dtz = t2s - P(11)
+    dt = jnp.sqrt(dtx * dtx + dty * dty + dtz * dtz)
+    frob = (r00 * P(0) + r01 * P(1) + r02 * P(2)
+            + r10 * P(3) + r11 * P(4) + r12 * P(5)
+            + r20 * P(6) + r21 * P(7) + r22 * P(8))
+    c = jnp.clip((frob - 1.0) * 0.5, -1.0, 1.0)
+    err_out_ref[0, 0] = dt + 2.0 * P(13) * jnp.sqrt(
+        jnp.maximum((1.0 - c) * 0.5, 0.0))
+
 
 def gn_solve(cand: CandidateSet, source, source_mask, guess, tau, *,
              voxel_size: float, max_num_iterations: int,
              convergence_criterion: float,
              use_adaptive_regularization: bool,
              fixed_regularization: float,
+             max_range: float = 0.0,
              interpret: bool = False):
     """Run the whole candidate-cached GN solve as one Pallas kernel.
 
     Args mirror registration.compute_robot_motion's candidate-cached branch;
     ``guess`` is the (4, 4) initial pose.  Returns (pose (4, 4), iterations,
-    num_correspondences).
+    num_correspondences, odometry_error_pt) — the last is the adaptive
+    threshold's point-space error of guess^-1 @ pose, computed in-kernel
+    (scaled by ``max_range``).
     """
     v, k, n = cand.words.shape
     dtype = source.x.dtype
@@ -258,7 +277,8 @@ def gn_solve(cand: CandidateSet, source, source_mask, guess, tau, *,
         guess[:3, :3].astype(jnp.float32).reshape(9),
         guess[:3, 3].astype(jnp.float32),
         jnp.asarray(tau, jnp.float32)[None],
-        jnp.zeros(3, jnp.float32),
+        jnp.asarray(max_range, jnp.float32)[None],
+        jnp.zeros(2, jnp.float32),
     ]).reshape(1, 16)
 
     kern = functools.partial(
@@ -268,14 +288,16 @@ def gn_solve(cand: CandidateSet, source, source_mask, guess, tau, *,
         use_adaptive_regularization=use_adaptive_regularization,
         fixed_regularization=fixed_regularization)
 
-    pose16, stats = pl.pallas_call(
+    pose16, stats, err = pl.pallas_call(
         kern,
         out_shape=(jax.ShapeDtypeStruct((1, 16), jnp.float32),
-                   jax.ShapeDtypeStruct((1, 2), jnp.int32)),
+                   jax.ShapeDtypeStruct((1, 2), jnp.int32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)),
         in_specs=[pl.BlockSpec((1, 16), memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, 2), memory_space=pltpu.SMEM)),
+                   pl.BlockSpec((1, 2), memory_space=pltpu.SMEM),
+                   pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)),
         interpret=interpret,
     )(params, px, py, pz, tag,
       source.x[None, :].astype(jnp.float32),
@@ -284,4 +306,4 @@ def gn_solve(cand: CandidateSet, source, source_mask, guess, tau, *,
       source_mask[None, :].astype(jnp.float32))
 
     pose = pose16.reshape(4, 4).astype(guess.dtype)
-    return pose, stats[0, 0], stats[0, 1]
+    return pose, stats[0, 0], stats[0, 1], err[0, 0]

@@ -36,6 +36,12 @@ _EPSILON = 1e-30
 class RegistrationDebug(NamedTuple):
     iterations: jnp.ndarray           # int32 — GN iterations executed
     num_correspondences: jnp.ndarray  # int32 — at the last association
+    #: scalar f32 — the adaptive threshold's "odometry error in point
+    #: space" |t_err| + 2 R sin(theta_err/2) (CorrespondenceThreshold
+    #: .cpp:7-12), computed INSIDE the fused Pallas kernel (the guess and
+    #: final pose are already in registers there); None on the XLA paths,
+    #: where the pipeline computes it from the returned pose instead.
+    odometry_error_pt: jnp.ndarray | None = None
 
 
 def pallas_gn_fits(candidate_rows: int, num_queries: int) -> bool:
@@ -178,7 +184,8 @@ def compute_robot_motion(m: hashmap.MapState, source: P3, source_mask,
                          num_candidate_voxels: int = 27,
                          exact_gn_reassociation: bool = False,
                          gn_candidates_per_voxel: int = 0,
-                         gn_backend: str = "auto"):
+                         gn_backend: str = "auto",
+                         threshold_max_range: float = 0.0):
     """Full ComputeRobotMotion (Registration.cpp:151-190).
 
     By default candidate map points are gathered ONCE at the initial guess
@@ -207,14 +214,16 @@ def compute_robot_motion(m: hashmap.MapState, source: P3, source_mask,
         if gn_candidates_per_voxel:
             cand = hashmap.reduce_candidates(
                 cand, world_guess, gn_candidates_per_voxel, voxel_size)
-        pose, iters, num_corr = pallas_gn.gn_solve(
+        pose, iters, num_corr, err = pallas_gn.gn_solve(
             cand, source, source_mask, guess, max_correspondence_distance,
             voxel_size=voxel_size, max_num_iterations=max_num_iterations,
             convergence_criterion=convergence_criterion,
             use_adaptive_regularization=use_adaptive_odometry_regularization,
-            fixed_regularization=fixed_regularization)
+            fixed_regularization=fixed_regularization,
+            max_range=threshold_max_range)
         return pose, RegistrationDebug(iterations=iters,
-                                       num_correspondences=num_corr)
+                                       num_correspondences=num_corr,
+                                       odometry_error_pt=err)
 
     if exact_gn_reassociation:
         def associate(pose):

@@ -56,6 +56,15 @@ def update_odometry_error(state: ThresholdState, odometry_error_pose, *,
     if not use_adaptive:
         return state
     err = odometry_error_in_point_space(odometry_error_pose, max_range)
+    return update_odometry_error_scalar(state, err, use_adaptive=True)
+
+
+def update_odometry_error_scalar(state: ThresholdState, err, *,
+                                 use_adaptive: bool) -> ThresholdState:
+    """``update_odometry_error`` given the precomputed point-space error
+    (e.g. from the fused GN kernel, which has both poses in registers)."""
+    if not use_adaptive:
+        return state
     return ThresholdState(
         odom_sse=state.odom_sse + err * err,
         num_samples=state.num_samples + 1.0,

@@ -45,15 +45,21 @@ class TestPallasGN:
             m, source, mask, guess, rel, 0.5, gn_backend="xla", **KW)
         world = registration.transform(guess, source)
         cand = hashmap.gather_candidates(m, world, 1.0, 4, 10)
-        pose_pal, iters, ncorr = pallas_gn.gn_solve(
+        pose_pal, iters, ncorr, err = pallas_gn.gn_solve(
             cand, source, mask, guess, 0.5,
             voxel_size=1.0, max_num_iterations=10,
             convergence_criterion=0.001, use_adaptive_regularization=True,
-            fixed_regularization=0.0, interpret=True)
+            fixed_regularization=0.0, max_range=60.0, interpret=True)
         np.testing.assert_allclose(np.asarray(pose_pal),
                                    np.asarray(pose_xla), atol=1e-7)
         assert int(iters) == int(dbg_xla.iterations)
         assert int(ncorr) == int(dbg_xla.num_correspondences)
+        # the in-kernel threshold error equals the host formula on
+        # guess^-1 @ pose (CorrespondenceThreshold.cpp:7-12)
+        from kinematic_icp_tpu.ops import se3, threshold
+        emat = se3.compose44(se3.inverse(guess), pose_pal)
+        ref_err = threshold.odometry_error_in_point_space(emat, 60.0)
+        np.testing.assert_allclose(float(err), float(ref_err), atol=1e-5)
 
     def test_fixed_regularization_and_empty_map(self):
         m = hashmap.empty(1 << 13, 20)
@@ -64,11 +70,12 @@ class TestPallasGN:
         guess = jnp.eye(4, dtype=jnp.float32).at[0, 3].set(0.5)
         world = registration.transform(guess, source)
         cand = hashmap.gather_candidates(m, world, 1.0, 4, 10)
-        pose, iters, ncorr = pallas_gn.gn_solve(
+        pose, iters, ncorr, err = pallas_gn.gn_solve(
             cand, source, mask, guess, 0.5,
             voxel_size=1.0, max_num_iterations=10,
             convergence_criterion=0.001, use_adaptive_regularization=False,
             fixed_regularization=0.1, interpret=True)
+        assert float(err) == 0.0  # pose == guess and max_range defaults to 0
         # empty map -> no correspondences -> returns the guess unchanged
         np.testing.assert_allclose(np.asarray(pose), np.asarray(guess),
                                    atol=0)
