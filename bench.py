@@ -257,6 +257,17 @@ def main():
         details["default_vs_exact_ate_m"] = round(float(ate_rmse(
             list(poses_exact), list(poses_large), align=False)), 4)
 
+        # min-tiebreak downsample: one fewer sort operand and
+        # permutation-invariant representatives (Config.downsample_tiebreak)
+        cfg_min = dataclasses.replace(cfg_large, downsample_tiebreak="min")
+        fps_min, poses_min, _ = time_tpu_sequence(cfg_min, seq_large, runs=2)
+        details["min_tiebreak_mode"] = {
+            "fps": round(fps_min, 1),
+            "ate_vs_reference_m": round(float(ate_rmse(
+                list(native_poses), list(poses_min), align=False)), 4),
+            "config": "downsample_tiebreak=min",
+        }
+
     # ---- legacy small-frame regime + python-oracle differential ----------
     # Capacities sized to the workload (~2.8K points/frame) the same way a
     # deployment would bucket them: no truncation (max_points > every frame),

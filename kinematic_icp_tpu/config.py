@@ -77,6 +77,15 @@ class Config:
     #: "auto" picks pallas on TPU and xla elsewhere.  Ignored (xla) when
     #: exact_gn_reassociation is set.
     gn_backend: str = "auto"
+    #: which point survives per voxel in the wide-frame (packed-word)
+    #: downsample: "first" = first in input order (reference semantics,
+    #: the input index rides the grouping sort as a tie-break key) or
+    #: "min" = smallest quantized offset (drops the index operand — the
+    #: grouping sort gets ~25% cheaper — and is permutation-INVARIANT:
+    #: the representative no longer depends on sensor packet order at
+    #: all).  Both are within the reference's own input-order sensitivity
+    #: (chaos floor); bench.py reports both modes.
+    downsample_tiebreak: str = "first"
 
     def __post_init__(self):
         assert self.map_capacity & (self.map_capacity - 1) == 0, (

@@ -122,7 +122,8 @@ def register_frame(state: OdometryState, points, timestamps, mask,
         voxel.double_downsample(
         frame_in_base, frame_mask, config.voxel_size,
         max_downsampled=config.max_downsampled, max_source=config.max_source,
-        max_extent=2.0 * config.max_range)
+        max_extent=2.0 * config.max_range,
+        tiebreak=config.downsample_tiebreak)
 
     # Adaptive correspondence threshold tau (CorrespondenceThreshold.cpp:49-56).
     tau = threshold.compute_threshold(

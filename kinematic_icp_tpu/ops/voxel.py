@@ -92,7 +92,8 @@ PACKED_WORD_MIN_N = 32768
 
 
 def voxel_downsample(p: P3, mask, voxel_size: float, out_size: int,
-                     max_extent: float | None = None):
+                     max_extent: float | None = None,
+                     tiebreak: str = "first"):
     """Keep the first (in input order) point of each occupied voxel.
 
     Args:
@@ -139,10 +140,18 @@ def voxel_downsample(p: P3, mask, voxel_size: float, out_size: int,
         wz = jnp.clip((p.z * inv - cz) * 1024.0, 0, 1023).astype(jnp.uint32)
         word = jnp.where(mask, (wx << 20) | (wy << 10) | wz, jnp.uint32(0))
         idx = jnp.arange(n, dtype=jnp.int32)
-        # (key, idx) is unique, so the unstable 2-key sort IS the stable
-        # 1-key sort, without XLA's appended-iota operand.
-        key, _, word = jax.lax.sort((key, idx, word), num_keys=2,
-                                    is_stable=False)
+        if tiebreak == "first":
+            # (key, idx) is unique, so the unstable 2-key sort IS the
+            # stable 1-key sort, without XLA's appended-iota operand.
+            key, _, word = jax.lax.sort((key, idx, word), num_keys=2,
+                                        is_stable=False)
+        else:
+            # "min": representative = smallest quantized offset — one
+            # fewer sort operand, and permutation-invariant (equal
+            # (key, word) pairs reconstruct identically).
+            assert tiebreak == "min", tiebreak
+            key, word = jax.lax.sort((key, word), num_keys=2,
+                                     is_stable=False)
         valid = key != jnp.uint32(PACKED_KEY_SENTINEL)
         head = (key != jnp.roll(key, 1)).at[0].set(True) & valid
         pos = jnp.where(head, idx, jnp.int32(n))
@@ -206,7 +215,8 @@ def voxel_downsample(p: P3, mask, voxel_size: float, out_size: int,
 
 def double_downsample(p: P3, mask, voxel_size: float, *,
                       max_downsampled: int, max_source: int,
-                      max_extent: float | None = None):
+                      max_extent: float | None = None,
+                      tiebreak: str = "first"):
     """KISS-ICP's double downsample (reference KinematicICP.cpp:38-44).
 
     Returns (source, source_mask, frame_downsample, frame_downsample_mask,
@@ -216,7 +226,8 @@ def double_downsample(p: P3, mask, voxel_size: float, *,
     (frame_downsample, source) — 0 when capacities are sized right.
     """
     frame_ds, frame_ds_mask, drop_ds = voxel_downsample(
-        p, mask, voxel_size * 0.5, max_downsampled, max_extent=max_extent)
+        p, mask, voxel_size * 0.5, max_downsampled, max_extent=max_extent,
+        tiebreak=tiebreak)
     source, source_mask, drop_src = voxel_downsample(
         frame_ds, frame_ds_mask, voxel_size * 1.5, max_source,
         max_extent=max_extent)

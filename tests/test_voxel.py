@@ -132,6 +132,28 @@ class TestVoxelDownsample:
                              .astype(np.int64))]
             assert np.all(np.abs(q - r) <= tol), (q, r)
 
+    def test_min_tiebreak_permutation_invariant(self):
+        n = voxel.PACKED_WORD_MIN_N
+        vs = 0.5
+        pts = RNG.uniform(-30, 30, size=(n, 3)).astype(np.float32)
+        mask = jnp.ones(n, bool)
+
+        def run(p):
+            out, m, _ = voxel.voxel_downsample(
+                P3.from_array(jnp.asarray(p)), mask, vs, n,
+                max_extent=120.0, tiebreak="min")
+            return np.asarray(out.to_array())[np.asarray(m)]
+
+        a = run(pts)
+        perm = np.random.default_rng(1).permutation(n)
+        b = run(pts[perm])
+        # same representatives regardless of input order (sorted compare)
+        assert as_set(a) == as_set(b)
+        # same voxel set as the oracle
+        ref = oracle_downsample(pts.astype(np.float64), vs)
+        vox = lambda x: {tuple(v) for v in np.floor(x / vs).astype(np.int64)}
+        assert vox(a) == vox(ref)
+
     def test_double_downsample_counts(self):
         pts = RNG.uniform(-30, 30, size=(2000, 3)).astype(np.float32)
         mask = np.ones(2000, bool)
