@@ -23,7 +23,11 @@ OP_SCHEMA = 0x03
 OP_CHANNEL = 0x04
 OP_MESSAGE = 0x05
 OP_CHUNK = 0x06
+OP_STATISTICS = 0x0B
 OP_DATA_END = 0x0F
+
+#: footer record (op + len + 20-byte body) plus trailing magic
+_FOOTER_TAIL = 9 + 20 + 8
 
 
 @dataclasses.dataclass
@@ -178,13 +182,64 @@ class McapReader:
 
     # ------------------------------------------------------------------
     def count_messages(self, topic: str) -> int:
-        """Count messages on a topic (full rescan from the start; the
-        reference counts via metadata, RosbagUtils.cpp:82-93)."""
+        """Count messages on a topic — from the summary section's
+        Statistics record when present (the reference counts via rosbag2
+        metadata, RosbagUtils.cpp:82-93), otherwise by a full rescan."""
+        n = self._count_from_summary(topic)
+        if n is not None:
+            return n
         pos = self._f.tell()
         self._f.seek(len(MAGIC))
         n = sum(1 for _ in self.messages([topic]))
         self._f.seek(pos)
         return n
+
+    def _count_from_summary(self, topic: str) -> int | None:
+        """Per-channel count from the summary section, or None if absent."""
+        if not self._f.seekable():
+            return None
+        keep = self._f.tell()
+        try:
+            self._f.seek(-_FOOTER_TAIL, io.SEEK_END)
+            head = self._f.read(9)
+            if len(head) < 9 or head[0] != OP_FOOTER:
+                return None
+            summary_start, = struct.unpack("<Q", self._f.read(8))
+            if summary_start == 0:
+                return None
+            self._f.seek(summary_start)
+            channels: dict[int, str] = {}
+            counts: dict[int, int] | None = None
+            while True:
+                head = self._f.read(9)
+                if len(head) < 9 or head[0] in (OP_FOOTER, 0):
+                    break
+                op = head[0]
+                length, = struct.unpack("<Q", head[1:])
+                rec = self._f.read(length)
+                if op == OP_CHANNEL:
+                    cid, = struct.unpack_from("<H", rec, 0)
+                    t, _ = _read_prefixed_string(rec, 4)
+                    channels[cid] = t
+                elif op == OP_STATISTICS:
+                    # message_count(8) schema_count(2) channel_count(4)
+                    # attachment_count(4) metadata_count(4) chunk_count(4)
+                    # start(8) end(8) channel_message_counts(map)
+                    map_len, = struct.unpack_from("<I", rec, 42)
+                    counts = {}
+                    pos, end = 46, 46 + map_len
+                    while pos + 10 <= end:
+                        cid, cnt = struct.unpack_from("<HQ", rec, pos)
+                        counts[cid] = cnt
+                        pos += 10
+            if counts is None or not channels:
+                return None
+            return sum(cnt for cid, cnt in counts.items()
+                       if channels.get(cid) == topic)
+        except (OSError, struct.error):
+            return None
+        finally:
+            self._f.seek(keep)
 
 
 class McapWriter:
@@ -205,6 +260,9 @@ class McapWriter:
         self._schema_recs: list[bytes] = []
         self._channel_recs: list[bytes] = []
         self._messages: list[tuple[int, bytes]] = []
+        self._channel_counts: dict[int, int] = {}
+        self._chunk_count = 0
+        self._time_range: list[int] = []
         self._f.write(MAGIC)
         self._record(OP_HEADER, self._string(profile) + self._string(
             "kinematic_icp_tpu"))
@@ -254,6 +312,12 @@ class McapWriter:
             publish_time_ns = log_time_ns
         body = struct.pack("<HIQQ", cid, sequence, log_time_ns,
                            publish_time_ns) + data
+        self._channel_counts[cid] = self._channel_counts.get(cid, 0) + 1
+        if not self._time_range:
+            self._time_range = [log_time_ns, log_time_ns]
+        else:
+            self._time_range[0] = min(self._time_range[0], log_time_ns)
+            self._time_range[1] = max(self._time_range[1], log_time_ns)
         if self.compression:
             # buffer into one compressed Chunk, emitted at close
             self._messages.append((log_time_ns,
@@ -276,13 +340,27 @@ class McapWriter:
                 + self._string(self.compression)
                 + struct.pack("<Q", len(payload)) + payload)
         self._record(OP_CHUNK, body)
+        self._chunk_count += 1
         self._messages.clear()
 
     def close(self):
         self._flush_chunk()
         self._record(OP_DATA_END, struct.pack("<I", 0))
+        # Summary section: repeated schema/channel records + Statistics, so
+        # readers (ours included) count messages without a full scan.
+        summary_start = self._f.tell()
+        for rec in self._schema_recs + self._channel_recs:
+            self._f.write(rec)
+        cmap = b"".join(struct.pack("<HQ", cid, cnt)
+                        for cid, cnt in sorted(self._channel_counts.items()))
+        t0, t1 = (self._time_range or [0, 0])
+        self._record(OP_STATISTICS, struct.pack(
+            "<QHIIII", sum(self._channel_counts.values()),
+            len(self._schemas), len(self._channels), 0, 0,
+            self._chunk_count) + struct.pack("<QQ", t0, t1)
+            + struct.pack("<I", len(cmap)) + cmap)
         # footer: summary_start(8) summary_offset_start(8) summary_crc(4)
-        self._record(OP_FOOTER, struct.pack("<QQI", 0, 0, 0))
+        self._record(OP_FOOTER, struct.pack("<QQI", summary_start, 0, 0))
         self._f.write(MAGIC)
         if self._owns:
             self._f.close()

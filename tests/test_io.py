@@ -125,6 +125,43 @@ class TestMcap:
         np.testing.assert_allclose(decoded.xyz(), pts, atol=0)
         assert abs(msgs[0].log_time_sec - 1.5) < 1e-9
 
+    def test_count_from_summary_statistics(self):
+        # the writer emits a summary section with a Statistics record;
+        # count_messages must use it instead of rescanning, for plain and
+        # chunk-compressed files alike
+        for compression in ("", "lz4"):
+            buf = io.BytesIO()
+            w = McapWriter(buf, compression=compression)
+            for i in range(7):
+                w.write_message("/a", "tf2_msgs/msg/TFMessage",
+                                TFMessage().encode(), i)
+            for i in range(3):
+                w.write_message("/b", "tf2_msgs/msg/TFMessage",
+                                TFMessage().encode(), i)
+            w.close()
+            buf.seek(0)
+            r = McapReader(buf)
+            assert r._count_from_summary("/a") == 7
+            assert r._count_from_summary("/b") == 3
+            assert r._count_from_summary("/missing") == 0
+            assert r.count_messages("/a") == 7
+            # messages still iterate normally past the summary section
+            buf.seek(8)
+            assert len(list(r.messages(["/a"]))) == 7
+
+    def test_count_falls_back_without_summary(self):
+        buf = io.BytesIO()
+        w = McapWriter(buf)
+        for i in range(4):
+            w.write_message("/a", "tf2_msgs/msg/TFMessage",
+                            TFMessage().encode(), i)
+        w.close()
+        raw = bytearray(buf.getvalue())
+        raw[-28:-20] = b"\x00" * 8  # zero footer.summary_start
+        r = McapReader(io.BytesIO(bytes(raw)))
+        assert r._count_from_summary("/a") is None
+        assert r.count_messages("/a") == 4
+
     def test_topic_filter(self):
         buf = io.BytesIO()
         w = McapWriter(buf)
