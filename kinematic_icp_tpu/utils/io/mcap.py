@@ -135,6 +135,14 @@ class McapReader:
             if op == OP_FOOTER or op == 0:
                 return
             rec = self._f.read(length)
+            if len(rec) < length:
+                # Truncated file (crashed recorder / partial copy): yield
+                # what was intact and stop, like rosbag2's recovery read.
+                import warnings
+                warnings.warn(
+                    f"truncated MCAP record (op {op}: got {len(rec)} of "
+                    f"{length} bytes); stopping at the last intact message")
+                return
             if op == OP_SCHEMA:
                 self._parse_schema(rec)
             elif op == OP_CHANNEL:

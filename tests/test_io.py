@@ -162,6 +162,21 @@ class TestMcap:
         assert r._count_from_summary("/a") is None
         assert r.count_messages("/a") == 4
 
+    def test_truncated_file_yields_intact_prefix(self):
+        buf = io.BytesIO()
+        w = McapWriter(buf)
+        for i in range(50):
+            w.write_message("/a", "tf2_msgs/msg/TFMessage",
+                            TFMessage().encode(), i)
+        w.close()
+        raw = buf.getvalue()
+        # cut inside the message data section
+        cut = raw[:int(len(raw) * 0.5)]
+        r = McapReader(io.BytesIO(cut))
+        with pytest.warns(UserWarning, match="truncated"):
+            msgs = list(r.messages(["/a"]))
+        assert 0 < len(msgs) < 50
+
     def test_topic_filter(self):
         buf = io.BytesIO()
         w = McapWriter(buf)

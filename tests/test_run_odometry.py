@@ -65,6 +65,32 @@ class TestRunOdometry:
         assert '"local_map"' in text and '"trajectory"' in text
 
 
+class TestEvaluateCLI:
+    def test_ate_rpe_between_tum_files(self, tmp_path, capsys):
+        from kinematic_icp_tpu import evaluate
+        from kinematic_icp_tpu.utils.io.tum import write_tum
+        rng = np.random.default_rng(0)
+        poses, ref = [], []
+        T = np.eye(4)
+        for i in range(30):
+            T = T.copy()
+            T[0, 3] += 0.1
+            ref.append((float(i) * 0.1, T))
+            Te = T.copy()
+            Te[:3, 3] += rng.normal(0, 0.01, 3)
+            # slightly offset stamps: association must still match
+            poses.append((float(i) * 0.1 + 0.003, Te))
+        write_tum(str(tmp_path / "ref.txt"), ref)
+        write_tum(str(tmp_path / "est.txt"), poses)
+        r = evaluate.main([str(tmp_path / "est.txt"),
+                           str(tmp_path / "ref.txt"), "--no-align"])
+        assert r["matched_poses"] == 30
+        assert 0 < r["ate_rmse_m"] < 0.05
+        assert r["rpe_trans_m"] < 0.1
+        out = capsys.readouterr().out
+        assert "ATE RMSE" in out
+
+
 class TestViewer:
     def test_layers_and_pose_translation_extraction(self, tmp_path):
         from kinematic_icp_tpu.utils.viewer import write_html_viewer
