@@ -46,7 +46,7 @@ _ATTEMPT = int(os.environ.get("_BENCH_ATTEMPT", "0"))
 #: healthy dispatch of the calibration program is <2 ms; degraded ~140 ms
 CALIB_THRESHOLD_MS = float(os.environ.get("BENCH_CALIB_THRESHOLD_MS", "20"))
 #: BENCH_FAST=1 skips the exact-mode, batched-DP, and python-oracle extras
-FAST = bool(os.environ.get("BENCH_FAST"))
+FAST = os.environ.get("BENCH_FAST", "0").lower() not in ("", "0", "false")
 #: accuracy gate: ATE RMSE delta vs the reference trajectory (BASELINE.json)
 ATE_GATE_M = 0.05
 
@@ -93,8 +93,9 @@ def time_tpu_sequence(cfg, seq, runs=BENCH_RUNS):
 
     state = pipeline.init_state(cfg)
     t0 = time.time()
-    _, poses = runner(state, *dev)
+    _, poses, overflow = runner(state, *dev)
     poses = np.asarray(poses, np.float64)
+    overflow = np.asarray(overflow)
     compile_and_first = time.time() - t0
 
     times = []
@@ -102,13 +103,16 @@ def time_tpu_sequence(cfg, seq, runs=BENCH_RUNS):
         st = pipeline.init_state(cfg)
         jax.tree.map(lambda x: x.block_until_ready(), st)
         t0 = time.time()
-        _, p = runner(st, *dev)
+        _, p, _ = runner(st, *dev)
         np.asarray(p)  # relay-safe completion barrier
         times.append(time.time() - t0)
     n = len(seq["frames"])
     return n / min(times), poses, {
         "compile_plus_first_run_sec": round(compile_and_first, 2),
         "run_times_sec": [round(t, 4) for t in times],
+        # [downsample, source, insert] drops over the whole sequence — the
+        # reference drops nothing, so these must be 0 for an honest run
+        "overflow_totals": [int(v) for v in overflow],
     }
 
 
@@ -183,7 +187,7 @@ def main():
 
     # ---- headline: realistic large frames --------------------------------
     cfg_large = Config(max_points=65536, max_downsampled=8192,
-                       max_source=1024, map_capacity=1 << 15,
+                       max_source=1024, map_capacity=1 << 16, max_probes=8,
                        voxel_size=1.0, max_range=60.0, deskew=True)
     seq_large = synthetic.make_sequence(
         LARGE_FRAMES, lidar=synthetic.realistic_lidar(),
@@ -211,7 +215,11 @@ def main():
         "workload": {
             "frames": LARGE_FRAMES,
             "mean_points_per_frame": round(mean_pts),
-            "config": "max_points=65536 voxel=1.0 max_range=60 deskew map_capacity=32768 (8x measured occupancy; overflow-counted)",
+            "config": "max_points=65536 voxel=1.0 max_range=60 deskew "
+                      "map_capacity=65536 max_probes=8 (zero-drop sizing: "
+                      "the reference drops nothing, so the headline config "
+                      "is chosen for measured overflow_totals == 0; the "
+                      "faster 4-way/32K table is reported as fast_config)",
         },
         "calibration_ms_per_dispatch": round(calib_ms, 2),
         "attempts": _ATTEMPT + 1,
@@ -232,7 +240,8 @@ def main():
             "ate_gate_pass": bool(
                 ate_15 <= ATE_GATE_M
                 and (ate_vs_native <= max(ATE_GATE_M, 3.0 * chaos_floor)
-                     or rpe_vs_native <= max(0.002, 2.0 * rpe_floor))),
+                     or rpe_vs_native <= max(0.002, 2.0 * rpe_floor))
+                and not any(extras_large["overflow_totals"])),
             "ate_vs_gt_m": round(float(ate_vs_gt), 4),
             "native_ate_vs_gt_m": round(float(native_ate_vs_gt), 4),
             "note": "chaos floor = reference-vs-reference self-divergence "
@@ -268,6 +277,22 @@ def main():
             "config": "downsample_tiebreak=min",
         }
 
+        # drop-tolerant speed config: 4-way buckets + half-size table are
+        # ~10% faster but overflow a few voxel allocations per frame at
+        # this sequence's ~8K-voxel occupancy peak (fully counted;
+        # measured ATE-neutral) — the zero-drop config stays the headline.
+        cfg_fast = dataclasses.replace(cfg_large, map_capacity=1 << 15,
+                                       max_probes=4)
+        fps_fast, poses_fast, extras_fast = time_tpu_sequence(
+            cfg_fast, seq_large, runs=2)
+        details["fast_config"] = {
+            "fps": round(fps_fast, 1),
+            "ate_vs_reference_m": round(float(ate_rmse(
+                list(native_poses), list(poses_fast), align=False)), 4),
+            "overflow_totals": extras_fast["overflow_totals"],
+            "config": "map_capacity=32768 max_probes=4",
+        }
+
     # ---- legacy small-frame regime + python-oracle differential ----------
     # Capacities sized to the workload (~2.8K points/frame) the same way a
     # deployment would bucket them: no truncation (max_points > every frame),
@@ -276,10 +301,10 @@ def main():
     # time on dead lanes and its max_source kept the fused Pallas GN kernel
     # over the VMEM fit limit.
     cfg_small = Config(max_points=4096, max_downsampled=4096,
-                       max_source=1024, map_capacity=1 << 14,
+                       max_source=1024, map_capacity=1 << 14, max_probes=8,
                        voxel_size=1.0, max_range=60.0, deskew=True)
     seq_small = synthetic.make_sequence(SMALL_FRAMES)
-    fps_small, poses_small, _ = time_tpu_sequence(cfg_small, seq_small)
+    fps_small, poses_small, extras_small = time_tpu_sequence(cfg_small, seq_small)
     native_small_poses, native_small_stats = run_native(cfg_small, seq_small)
     details["small_regime"] = {
         "frames": SMALL_FRAMES,
@@ -287,6 +312,7 @@ def main():
             [p.shape[0] for p, _ in seq_small["frames"]]))),
         "fps": round(fps_small, 1),
         "native_cpu_fps": round(native_small_stats["fps"], 1),
+        "overflow_totals": extras_small["overflow_totals"],
         "ate_vs_reference_m": round(float(ate_rmse(
             list(native_small_poses), list(poses_small), align=False)), 4),
     }
@@ -342,7 +368,7 @@ def main():
         brunner = make_batched_sequence_runner(cfg_small)
         ext = jnp.eye(4)
         bstate = init_batched_state(cfg_small, batch)
-        _, bposes = brunner(bstate, bargs[0], bargs[1], bargs[2], bargs[3],
+        _, bposes, _ = brunner(bstate, bargs[0], bargs[1], bargs[2], bargs[3],
                             ext, bargs[4])
         np.asarray(bposes)
         btimes = []
@@ -350,7 +376,7 @@ def main():
             bstate = init_batched_state(cfg_small, batch)
             jax.tree.map(lambda x: x.block_until_ready(), bstate)
             t0 = time.time()
-            _, bposes = brunner(bstate, bargs[0], bargs[1], bargs[2],
+            _, bposes, _ = brunner(bstate, bargs[0], bargs[1], bargs[2],
                                 bargs[3], ext, bargs[4])
             np.asarray(bposes)
             btimes.append(time.time() - t0)

@@ -90,6 +90,9 @@ class Config:
     def __post_init__(self):
         assert self.map_capacity & (self.map_capacity - 1) == 0, (
             "map_capacity must be a power of two")
+        assert self.gn_backend in ("auto", "pallas", "xla"), self.gn_backend
+        assert self.downsample_tiebreak in ("first", "min"), (
+            self.downsample_tiebreak)
 
     def map_resolution(self) -> float:
         """Derived parameter (reference KinematicICP.hpp:46)."""

@@ -24,21 +24,32 @@ from .utils.io.tum import read_tum
 
 
 def associate(stamps_a, stamps_b, max_diff: float):
-    """Greedy nearest-stamp matching; returns (idx_a, idx_b) arrays."""
-    ia, ib = [], []
-    j = 0
+    """One-to-one nearest-stamp matching; returns (idx_a, idx_b) arrays.
+
+    Each b-index is consumed at most once (smallest stamp distance wins,
+    TUM-style), so an oversampled estimate cannot match several poses to
+    one reference pose — that would create zero-motion reference pairs and
+    deflate RPE.
+    """
     order = np.argsort(stamps_b)
     sb = np.asarray(stamps_b)[order]
+    pairs = []
     for i, t in enumerate(stamps_a):
         j = int(np.searchsorted(sb, t))
-        best, bd = -1, max_diff
         for k in (j - 1, j):
-            if 0 <= k < len(sb) and abs(sb[k] - t) <= bd:
-                best, bd = k, abs(sb[k] - t)
-        if best >= 0:
-            ia.append(i)
-            ib.append(int(order[best]))
-    return np.asarray(ia, int), np.asarray(ib, int)
+            if 0 <= k < len(sb) and abs(sb[k] - t) <= max_diff:
+                pairs.append((abs(sb[k] - t), i, int(order[k])))
+    pairs.sort()
+    ia, ib, used_a, used_b = [], [], set(), set()
+    for _, i, b in pairs:
+        if i in used_a or b in used_b:
+            continue
+        used_a.add(i)
+        used_b.add(b)
+        ia.append(i)
+        ib.append(b)
+    keep = np.argsort(ia)
+    return (np.asarray(ia, int)[keep], np.asarray(ib, int)[keep])
 
 
 def evaluate_files(est_path, ref_path, align=True, max_stamp_diff=0.02,

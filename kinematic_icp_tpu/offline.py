@@ -52,7 +52,7 @@ def _gated_step(state, frame, config: Config, extrinsic):
     state, out = pipeline.register_frame(
         state, pts, ts, mask, has_ts, extrinsic, rel, config, active=active,
         rel_twist_in_lidar=twist)
-    return state, state.pose
+    return state, (state.pose, out.overflow)
 
 
 @functools.lru_cache(maxsize=8)
@@ -72,10 +72,14 @@ def make_sequence_runner(config: Config):
         # overhead on top of the frame's ops (measured: 498 us/frame of
         # device-op time vs 590 us/frame of wall inside one dispatch);
         # unrolling halves the number of boundaries for 2x code size.
-        final_state, poses = jax.lax.scan(
+        final_state, (poses, overflow) = jax.lax.scan(
             body, state, (pts, ts, mask, has_ts, rels, active, twists),
             unroll=2)
-        return final_state, poses
+        # (3,) totals: [downsample drops, source drops, insert failures] —
+        # the reference drops nothing (README.md:79), so nonzero means the
+        # static capacities are undersized; surfaced so batch runs cannot
+        # lose data silently.
+        return final_state, poses, jnp.sum(overflow, axis=0)
 
     return jax.jit(run, donate_argnums=(0,))
 
@@ -108,8 +112,11 @@ def make_batched_sequence_runner(config: Config):
                 lambda r: _per_frame_constants(r, extrinsic, config))(rels)
         if twists is None:
             twists = jnp.zeros(rels.shape[:2] + (0,))
-        return jax.lax.scan(body, state,
-                            (pts, ts, mask, has_ts, rels, active, twists))
+        final_state, (poses, overflow) = jax.lax.scan(
+            body, state, (pts, ts, mask, has_ts, rels, active, twists))
+        # (B, 3) per-sequence capacity-overflow totals (see
+        # make_sequence_runner)
+        return final_state, poses, jnp.sum(overflow, axis=0)
 
     return jax.jit(run, donate_argnums=(0,))
 
@@ -165,7 +172,14 @@ def run_offline(frames, rel_odometry, config: Config | None = None,
     ext = np.eye(4, dtype=np.float32) if extrinsic is None else np.asarray(
         extrinsic, np.float32)
     runner = make_sequence_runner(config)
-    final_state, poses = runner(
+    final_state, poses, overflow = runner(
         state, jnp.asarray(pts), jnp.asarray(ts), jnp.asarray(mask),
         jnp.asarray(has_ts), jnp.asarray(ext), jnp.asarray(rels))
+    overflow = np.asarray(overflow)
+    if overflow.any():
+        import warnings
+        warnings.warn(
+            f"capacity overflow over the sequence: {overflow[0]} downsample "
+            f"voxels, {overflow[1]} source voxels, {overflow[2]} map inserts "
+            f"dropped — raise max_downsampled/max_source/map_capacity")
     return np.asarray(poses, np.float64), final_state

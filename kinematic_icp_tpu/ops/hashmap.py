@@ -26,12 +26,16 @@ full 128-lane tile), so a query's whole probe neighborhood is ONE row gather:
 
     table:  (B, G*R) uint32 — bucket b, slot g occupies lanes [g*R, (g+1)*R)
 
-``bucket = hash & (B-1)``; a voxel lives in any free slot of its bucket
-(found by elementwise fingerprint compare across the G sub-rows after the
-gather).  Bucket overflow (more than G voxels hashing to one bucket) refuses
-the insert for that frame — vanishingly rare at the <5% load factors this
-map runs at, and retried naturally on later frames.  In-place eviction needs
-no tombstones; inserts assign free slots rank-deterministically (see
+``bucket = murmur(hash) & (B-1)``; a voxel lives in any free slot of its
+bucket (found by elementwise fingerprint compare across the G sub-rows after
+the gather).  Bucket overflow (more than G voxels hashing to one bucket)
+refuses the insert for that frame — counted (``return_failed``) and retried
+naturally on later frames.  Sizing rule from the binomial tail, measured on
+the 64K bench sequence (~8K voxel occupancy peak): 4-way buckets at 25%
+slot load drop ~10 voxel allocations/frame; 8-way buckets at 12% load drop
+zero — pick G=8 (Config.max_probes) when reference-exact "nothing dropped"
+matters, G=4 for ~10% more throughput.  In-place eviction needs no
+tombstones; inserts assign free slots rank-deterministically (see
 ``insert``).
 
 Semantics matched to the reference:
@@ -146,9 +150,19 @@ def fingerprint(bx, by, bz):
 
 
 def bucket_of(bx, by, bz, num_buckets: int):
-    """Bucket row index of a voxel (num_buckets must be a power of two)."""
-    return (spatial_hash_planar(bx, by, bz)
-            & jnp.uint32(num_buckets - 1)).astype(jnp.int32)
+    """Bucket row index of a voxel (num_buckets must be a power of two).
+
+    The KISS xor-of-multiplies spatial hash clusters badly in its low bits
+    (adjacent voxels collide into the same masked bucket): at a 0.12 load
+    factor it produced ~13 bucket-overflow insert failures per 64K-regime
+    frame.  A murmur3 finalizer on top disperses it; measured 0 failures
+    on the same sequence.
+    """
+    h = spatial_hash_planar(bx, by, bz)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x7FEB352D)
+    h = h ^ (h >> 15)
+    return (h & jnp.uint32(num_buckets - 1)).astype(jnp.int32)
 
 
 def _empty_row_np(k: int, bucket_slots: int) -> np.ndarray:

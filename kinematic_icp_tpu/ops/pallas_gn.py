@@ -264,6 +264,7 @@ def gn_solve(cand: CandidateSet, source, source_mask, guess, tau, *,
     (scaled by ``max_range``).
     """
     v, k, n = cand.words.shape
+    assert k <= 32, "packed NN tie-break key holds a 5-bit entry lane"
     dtype = source.x.dtype
     pts, valid = _candidate_points(cand, voxel_size, dtype)
     px = jnp.where(valid, pts.x, _FAR).reshape(v * k, n)

@@ -21,9 +21,23 @@ import struct
 FRAME_MAGIC = 0x184D2204
 
 
-def decompress_block(src: bytes, max_size: int | None = None) -> bytes:
-    """Decode one raw LZ4 block (sequence format)."""
-    out = bytearray()
+def decompress_block(src: bytes, max_size: int | None = None,
+                     out: bytearray | None = None,
+                     history_base: int | None = None) -> bytes:
+    """Decode one raw LZ4 block (sequence format).
+
+    ``out``: optional shared output buffer — for block-LINKED frames
+    (liblz4's LZ4F default, which rosbag2/mcap writers use) match offsets
+    may reach back into previously decoded blocks, so the frame decoder
+    passes its accumulated output here.  ``history_base`` is the lowest
+    index a match may reference: 0 for linked blocks, the block's own
+    start for independent blocks.  Returns the bytes THIS block decoded.
+    """
+    if out is None:
+        out = bytearray()
+    block_start = len(out)
+    if history_base is None:
+        history_base = block_start
     i = 0
     n = len(src)
     while i < n:
@@ -54,14 +68,14 @@ def decompress_block(src: bytes, max_size: int | None = None) -> bytes:
                 if b != 255:
                     break
         start = len(out) - offset
-        if start < 0:
-            raise ValueError("corrupt LZ4 block: offset before start")
+        if start < history_base:
+            raise ValueError("corrupt LZ4 block: offset before history")
         for _ in range(match_len):  # may self-overlap; byte-wise copy
             out.append(out[start])
             start += 1
-        if max_size is not None and len(out) > max_size:
+        if max_size is not None and len(out) - block_start > max_size:
             raise ValueError("LZ4 block exceeds declared size")
-    return bytes(out)
+    return bytes(out[block_start:])
 
 
 def compress_block(data: bytes) -> bytes:
@@ -101,16 +115,12 @@ def decompress_frame(src: bytes) -> bytes:
         content_size = (flg >> 3) & 1
         content_checksum = (flg >> 2) & 1
         dict_id = flg & 1
-        if not block_indep:
-            # dependent blocks share the history window; our decoder keeps
-            # the full output so back-references still resolve per block
-            # only if each block is self-contained — reject to be safe.
-            raise ValueError("LZ4 frame with dependent blocks unsupported")
         if content_size:
             i += 8
         if dict_id:
             i += 4
         i += 1  # header checksum byte
+        frame_start = len(out)
         while True:
             bsize = struct.unpack_from("<I", src, i)[0]
             i += 4
@@ -120,7 +130,16 @@ def decompress_frame(src: bytes) -> bytes:
             bsize &= 0x7FFFFFFF
             payload = src[i:i + bsize]
             i += bsize
-            out += payload if uncompressed else decompress_block(payload)
+            if uncompressed:
+                out += payload
+            else:
+                # Block-linked frames (liblz4's LZ4F default, what
+                # rosbag2/mcap writers emit) let matches reach back into
+                # earlier blocks of the same frame; independent blocks
+                # are confined to their own start.
+                decompress_block(
+                    payload, out=out,
+                    history_base=len(out) if block_indep else frame_start)
             if block_checksum:
                 i += 4
         if content_checksum:

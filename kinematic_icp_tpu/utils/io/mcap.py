@@ -271,6 +271,11 @@ class McapWriter:
         self._channel_counts: dict[int, int] = {}
         self._chunk_count = 0
         self._time_range: list[int] = []
+        self._pending_bytes = 0
+        #: flush a compressed chunk when buffered records reach this size
+        #: (rosbag2's default chunk target) — bounds writer memory and keeps
+        #: chunks seekable instead of one whole-bag chunk
+        self.chunk_size = 1 << 20
         self._f.write(MAGIC)
         self._record(OP_HEADER, self._string(profile) + self._string(
             "kinematic_icp_tpu"))
@@ -327,9 +332,11 @@ class McapWriter:
             self._time_range[0] = min(self._time_range[0], log_time_ns)
             self._time_range[1] = max(self._time_range[1], log_time_ns)
         if self.compression:
-            # buffer into one compressed Chunk, emitted at close
-            self._messages.append((log_time_ns,
-                                   self._record_bytes(OP_MESSAGE, body)))
+            rec = self._record_bytes(OP_MESSAGE, body)
+            self._messages.append((log_time_ns, rec))
+            self._pending_bytes += len(rec)
+            if self._pending_bytes >= self.chunk_size:
+                self._flush_chunk()
         else:
             self._record(OP_MESSAGE, body)
 
@@ -350,6 +357,7 @@ class McapWriter:
         self._record(OP_CHUNK, body)
         self._chunk_count += 1
         self._messages.clear()
+        self._pending_bytes = 0
 
     def close(self):
         self._flush_chunk()

@@ -48,11 +48,18 @@ class SqliteBagReader:
         """Yield messages in timestamp order (rosbag2 replay order)."""
         q = ("SELECT topic_id, timestamp, data FROM messages "
              "ORDER BY timestamp, id")
-        for tid, stamp, data in self._conn.execute(q):
+        args = ()
+        if topics is not None:
+            # filter in SQL so non-matching rows' BLOBs never leave sqlite
+            wanted = [tid for tid, ch in self.channels.items()
+                      if ch.topic in set(topics)]
+            q = (f"SELECT topic_id, timestamp, data FROM messages WHERE "
+                 f"topic_id IN ({','.join('?' * len(wanted))}) "
+                 f"ORDER BY timestamp, id")
+            args = tuple(wanted)
+        for tid, stamp, data in self._conn.execute(q, args):
             ch = self.channels.get(tid)
             if ch is None:
-                continue
-            if topics is not None and ch.topic not in set(topics):
                 continue
             yield Message(ch, self.schemas.get(tid), stamp, stamp, 0,
                           bytes(data))

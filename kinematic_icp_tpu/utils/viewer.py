@@ -180,9 +180,13 @@ def _layer_points(name: str, value) -> np.ndarray:
         if len(a) % 2:
             a = a[:-1]
     if len(a) > MAX_POINTS_PER_LAYER:
-        idx = np.linspace(0, len(a) - 1, MAX_POINTS_PER_LAYER).astype(int)
         if name == "voxel_grid":
-            idx = (idx // 2) * 2  # keep segment pairing
+            # subsample whole segments: pick start rows, keep their ends
+            starts = np.linspace(0, len(a) // 2 - 1,
+                                 MAX_POINTS_PER_LAYER // 2).astype(int) * 2
+            idx = np.stack([starts, starts + 1], axis=1).reshape(-1)
+        else:
+            idx = np.linspace(0, len(a) - 1, MAX_POINTS_PER_LAYER).astype(int)
         a = a[idx]
     return a
 

@@ -216,12 +216,12 @@ class TestOverflowAccounting:
     @staticmethod
     def _colliding_voxels(num, num_buckets):
         """Find ``num`` distinct voxel coords hashing to one bucket."""
-        from kinematic_icp_tpu.ops.voxel import spatial_hash
         found = {}
-        for x in range(-40, 40):
-            for y in range(-40, 40):
-                h = int(np.asarray(spatial_hash(
-                    jnp.asarray([[x, y, 0]], jnp.int32)))[0]) % num_buckets
+        for x in range(-60, 60):
+            for y in range(-60, 60):
+                h = int(np.asarray(hashmap.bucket_of(
+                    jnp.asarray([x], jnp.int32), jnp.asarray([y], jnp.int32),
+                    jnp.asarray([0], jnp.int32), num_buckets))[0])
                 found.setdefault(h, []).append((x, y, 0))
                 if len(found[h]) >= num:
                     return found[h][:num]

@@ -339,6 +339,25 @@ class TestLz4:
                        0x04, 0x00])
         assert lz4f.decompress_block(block) == b"abcd" + b"abcd" * 2
 
+    def test_block_linked_frame(self):
+        # liblz4's LZ4F default (what rosbag2/mcap writers emit) links
+        # blocks: a match in block 2 may reach back into block 1.
+        from kinematic_icp_tpu.utils.io import lz4f
+        import struct as st
+        block1 = bytes([0x80]) + b"abcdefgh"       # 8 literals
+        block2 = bytes([0x04, 0x08, 0x00])         # match offset 8, len 8
+        frame = bytearray(st.pack("<I", lz4f.FRAME_MAGIC))
+        frame += bytes([0x40, 0x40, 0x00])         # v1, LINKED, 64K, hc
+        for b in (block1, block2):
+            frame += st.pack("<I", len(b)) + b
+        frame += st.pack("<I", 0)                  # EndMark
+        assert lz4f.decompress_frame(bytes(frame)) == b"abcdefgh" * 2
+
+        # the same cross-block reference in an INDEPENDENT frame is corrupt
+        frame[4] = 0x60                            # v1, independent
+        with pytest.raises(ValueError, match="history"):
+            lz4f.decompress_frame(bytes(frame))
+
     def test_lz4_chunked_mcap_roundtrip(self):
         buf = io.BytesIO()
         w = McapWriter(buf, compression="lz4")

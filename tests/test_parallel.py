@@ -117,7 +117,7 @@ class TestBatchedSequenceRunner:
             for i in range(5))
         runner = make_batched_sequence_runner(CFG)
         state = init_batched_state(CFG, b)
-        _, poses = runner(state, pts, ts, mask, has_ts, jnp.eye(4), rels)
+        _, poses, _ = runner(state, pts, ts, mask, has_ts, jnp.eye(4), rels)
         poses = np.asarray(poses, np.float64)       # (F, B, 4, 4)
         for i, seq in enumerate(sequences):
             ref = run_single_device(seq)

@@ -26,7 +26,7 @@ def main():
     # default 8K bench config.
     if os.environ.get("TRACE_LARGE"):
         cfg = Config(max_points=65536, max_downsampled=8192,
-                     max_source=1024, map_capacity=1 << 15, voxel_size=1.0,
+                     max_source=1024, map_capacity=1 << 16, max_probes=8, voxel_size=1.0,
                      max_range=60.0, deskew=True)
         seq = synthetic.make_sequence(50, lidar=synthetic.realistic_lidar(),
                                       clear_path_margin=3.0)
@@ -41,14 +41,14 @@ def main():
     dev = (jnp.asarray(pts), jnp.asarray(ts), jnp.asarray(mask),
            jnp.asarray(has_ts), ext, jnp.asarray(rels))
     state = pipeline.init_state(cfg)
-    _, poses = runner(state, *dev)
+    _, poses, _ = runner(state, *dev)
     np.asarray(poses)
 
     state = pipeline.init_state(cfg)
     jax.tree.map(lambda x: x.block_until_ready(), state)
     os.system(f"rm -rf {TRACE_DIR}")
     with jax.profiler.trace(TRACE_DIR):
-        _, poses = runner(state, *dev)
+        _, poses, _ = runner(state, *dev)
         np.asarray(poses)
 
     # Parse the trace: sum durations by event name on device tracks.
