@@ -187,7 +187,7 @@ def main():
 
     # ---- headline: realistic large frames --------------------------------
     cfg_large = Config(max_points=65536, max_downsampled=8192,
-                       max_source=1024, map_capacity=1 << 16, max_probes=8,
+                       max_source=1024, map_capacity=5 << 14, max_probes=5,
                        voxel_size=1.0, max_range=60.0, deskew=True)
     seq_large = synthetic.make_sequence(
         LARGE_FRAMES, lidar=synthetic.realistic_lidar(),

@@ -88,8 +88,10 @@ class Config:
     downsample_tiebreak: str = "first"
 
     def __post_init__(self):
-        assert self.map_capacity & (self.map_capacity - 1) == 0, (
-            "map_capacity must be a power of two")
+        b = self.map_capacity // self.max_probes
+        assert b * self.max_probes == self.map_capacity and (
+            b & (b - 1)) == 0, (
+            "map_capacity must be max_probes x a power-of-two bucket count")
         assert self.gn_backend in ("auto", "pallas", "xla"), self.gn_backend
         assert self.downsample_tiebreak in ("first", "min"), (
             self.downsample_tiebreak)
