@@ -26,7 +26,7 @@ def main():
     # default 8K bench config.
     if os.environ.get("TRACE_LARGE"):
         cfg = Config(max_points=65536, max_downsampled=8192,
-                     max_source=1024, map_capacity=1 << 16, max_probes=8, voxel_size=1.0,
+                     max_source=1024, map_capacity=5 << 14, max_probes=5, voxel_size=1.0,
                      max_range=60.0, deskew=True)
         seq = synthetic.make_sequence(50, lidar=synthetic.realistic_lidar(),
                                       clear_path_margin=3.0)
