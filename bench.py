@@ -215,11 +215,15 @@ def main():
         "workload": {
             "frames": LARGE_FRAMES,
             "mean_points_per_frame": round(mean_pts),
-            "config": "max_points=65536 voxel=1.0 max_range=60 deskew "
-                      "map_capacity=65536 max_probes=8 (zero-drop sizing: "
-                      "the reference drops nothing, so the headline config "
-                      "is chosen for measured overflow_totals == 0; the "
-                      "faster 4-way/32K table is reported as fast_config)",
+            "config": (f"max_points={cfg_large.max_points} "
+                       f"voxel={cfg_large.voxel_size} "
+                       f"max_range={cfg_large.max_range} deskew "
+                       f"map_capacity={cfg_large.map_capacity} "
+                       f"max_probes={cfg_large.max_probes} "
+                       "(zero-drop sizing: the reference drops nothing, so "
+                       "the headline config is chosen for measured "
+                       "overflow_totals == 0; the faster 4-way/32K table "
+                       "is reported as fast_config)"),
         },
         "calibration_ms_per_dispatch": round(calib_ms, 2),
         "attempts": _ATTEMPT + 1,

@@ -35,10 +35,12 @@ def associate(stamps_a, stamps_b, max_diff: float):
     sb = np.asarray(stamps_b)[order]
     pairs = []
     for i, t in enumerate(stamps_a):
-        j = int(np.searchsorted(sb, t))
-        for k in (j - 1, j):
-            if 0 <= k < len(sb) and abs(sb[k] - t) <= max_diff:
-                pairs.append((abs(sb[k] - t), i, int(order[k])))
+        # every reference stamp within max_diff is a candidate (not just
+        # the nearest two — those may be consumed by other estimates)
+        lo = int(np.searchsorted(sb, t - max_diff, side="left"))
+        hi = int(np.searchsorted(sb, t + max_diff, side="right"))
+        for k in range(lo, hi):
+            pairs.append((abs(sb[k] - t), i, int(order[k])))
     pairs.sort()
     ia, ib, used_a, used_b = [], [], set(), set()
     for _, i, b in pairs:

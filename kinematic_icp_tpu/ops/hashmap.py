@@ -30,13 +30,14 @@ full 128-lane tile), so a query's whole probe neighborhood is ONE row gather:
 bucket (found by elementwise fingerprint compare across the G sub-rows after
 the gather).  Bucket overflow (more than G voxels hashing to one bucket)
 refuses the insert for that frame — counted (``return_failed``) and retried
-naturally on later frames.  Sizing rule from the binomial tail, measured on
-the 64K bench sequence (~8K voxel occupancy peak): 4-way buckets at 25%
-slot load drop ~10 voxel allocations/frame; 8-way buckets at 12% load drop
-zero — pick G=8 (Config.max_probes) when reference-exact "nothing dropped"
-matters, G=4 for ~10% more throughput.  In-place eviction needs no
-tombstones; inserts assign free slots rank-deterministically (see
-``insert``).
+naturally on later frames.  Sizing (measured on the 64K bench sequence,
+~8K-voxel occupancy peak): with K=20 the physical row rounds to 128-lane
+tiles, so G=5 (Config.max_probes) costs the same gather bytes as G=4 while
+adding 25% slots and associativity — G=5 x 16384 buckets measured ZERO
+drops ("nothing dropped" reference parity); G=4 x 8192 is ~8% faster
+end-to-end with a few counted drops per thousand allocations.  In-place
+eviction needs no tombstones; inserts assign free slots
+rank-deterministically (see ``insert``).
 
 Semantics matched to the reference:
   * first-come-kept voxel blocks (insertion refused when block full),
@@ -60,7 +61,7 @@ import jax.numpy as jnp
 
 from .points import P3, transform
 from .voxel import (PACKED_KEY_SENTINEL, SENTINEL, pack_rebased_keys,
-                    packable_span, spatial_hash_planar)
+                    packable_span)
 
 #: packed-point sentinel marking an unused block entry
 PACKED_SENTINEL = 0xFFFFFFFF

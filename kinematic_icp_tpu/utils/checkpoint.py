@@ -20,7 +20,8 @@ from ..config import Config
 from ..models.pipeline import OdometryState
 from ..ops import hashmap, threshold
 
-_FORMAT_VERSION = 2
+_FORMAT_VERSION = 3  # v3: bucket_of hash changed (additive+murmur); v2 tables
+# have every voxel in a different bucket and must not load silently
 
 
 def save_state(path, state: OdometryState, config: Config | None = None,

@@ -31,7 +31,9 @@ def decompress_block(src: bytes, max_size: int | None = None,
     may reach back into previously decoded blocks, so the frame decoder
     passes its accumulated output here.  ``history_base`` is the lowest
     index a match may reference: 0 for linked blocks, the block's own
-    start for independent blocks.  Returns the bytes THIS block decoded.
+    start for independent blocks.  Returns the decoded bytes for
+    standalone (fresh-buffer) calls; shared-buffer callers read ``out``
+    directly and get ``b""`` back (skipping a per-block copy).
     """
     if out is None:
         out = bytearray()
@@ -75,7 +77,9 @@ def decompress_block(src: bytes, max_size: int | None = None,
             start += 1
         if max_size is not None and len(out) - block_start > max_size:
             raise ValueError("LZ4 block exceeds declared size")
-    return bytes(out[block_start:])
+    # The frame decoder reads the shared buffer directly; copying the
+    # block's bytes out matters only for standalone (fresh-buffer) calls.
+    return bytes(out[block_start:]) if block_start == 0 else b""
 
 
 def compress_block(data: bytes) -> bytes:

@@ -405,6 +405,10 @@ class TestSqliteBag:
         np.testing.assert_allclose(decode_message(msgs[0]).xyz(), pts,
                                    atol=0)
         assert r.count_messages("/lidar_points") == 1
+        # topic filter runs in SQL (WHERE topic_id IN ...)
+        only = list(r.messages(["/tf"]))
+        assert [m.channel.topic for m in only] == ["/tf"]
+        assert list(r.messages(["/missing"])) == []
         r.close()
 
     def test_bufferable_bag_over_sqlite(self, tmp_path):
