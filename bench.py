@@ -241,6 +241,23 @@ def main():
             "rpe_vs_reference_m": round(float(rpe_vs_native), 5),
             "reference_rpe_floor_m": round(rpe_floor, 5),
             "ate_gate_m": ATE_GATE_M,
+            # Gate semantics, stated explicitly (three independent checks):
+            #   parity_15f_pass    — unconditional ATE <= 0.05 m over the
+            #                        first 15 frames (pre-divergence window)
+            #   full_horizon_pass  — ATE <= max(0.05, 3x chaos floor) OR
+            #                        RPE <= max(0.002, 2x RPE floor): the
+            #                        long-horizon arm is floor-relative by
+            #                        design (see docs/accuracy.md), NOT a
+            #                        plain 0.05 m ATE gate
+            #   completeness_pass  — overflow counters all zero ("the
+            #                        reference drops nothing")
+            # ate_gate_pass is their conjunction (kept for driver compat).
+            "parity_15f_pass": bool(ate_15 <= ATE_GATE_M),
+            "full_horizon_pass": bool(
+                ate_vs_native <= max(ATE_GATE_M, 3.0 * chaos_floor)
+                or rpe_vs_native <= max(0.002, 2.0 * rpe_floor)),
+            "completeness_pass": bool(
+                not any(extras_large["overflow_totals"])),
             "ate_gate_pass": bool(
                 ate_15 <= ATE_GATE_M
                 and (ate_vs_native <= max(ATE_GATE_M, 3.0 * chaos_floor)
@@ -353,6 +370,14 @@ def main():
             float(rpe_small), 5)
         details["small_regime"]["reference_rpe_floor_m"] = round(
             small_rpe_floor, 5)
+        # Same three-way gate semantics as the headline regime (see the
+        # comment there); the 0.0483 m full-horizon ATE passes via the
+        # 3x-floor arm (floor 0.0367 m), recorded as such in PARITY.md.
+        details["small_regime"]["parity_15f_pass"] = bool(
+            ate_oracle_15 <= ATE_GATE_M)
+        details["small_regime"]["full_horizon_pass"] = bool(
+            ate_oracle <= max(ATE_GATE_M, 3.0 * small_floor)
+            or rpe_small <= max(0.002, 2.0 * small_rpe_floor))
         details["small_regime"]["oracle_gate_pass"] = bool(
             ate_oracle_15 <= ATE_GATE_M
             and (ate_oracle <= max(ATE_GATE_M, 3.0 * small_floor)

@@ -486,23 +486,24 @@ def insert(m: MapState, p: P3, mask, voxel_size: float, max_probes: int,
       * position of the point inside its group — its append lane.
 
     Commit granularity: one scattered u32 per stored point, plus 4 meta
-    lanes per freshly allocated voxel.  Fresh voxels are COMPACTED (one
-    small sort) to ``fresh_capacity`` rows before the meta scatter — in
-    steady state a frame allocates few new voxels, so scattering meta from
-    all n rows (mostly dropped) measured ~4x the cost of the words scatter
-    itself.  If a frame allocates more than ``fresh_capacity`` voxels (map
-    bootstrap, teleports), a ``lax.cond`` falls back to the full-width
-    scatter — exact semantics always.
+    lanes per freshly allocated voxel.  Both commits are chunked
+    ``lax.while_loop``s over COMPACTED rows (one cheap sort each): stored
+    words scatter in 1024-wide chunks, fresh-voxel meta in
+    ``fresh_capacity``-wide chunks.  A while_loop carry aliases the table
+    in place (``lax.cond`` copied it into and out of its branches), and the
+    trip counts adapt to the data — zero/one trips in steady state,
+    ``ceil(count/chunk)`` on bootstrap or teleport frames — so the exact
+    semantics hold for any count with no full-width fallback branch.
     """
     g = m.bucket_slots
     kmax = m.block_size
     n = p.x.shape[0]
     if fresh_capacity is None:
         # Steady state allocates tens of new voxels per frame (measured
-        # 12-30 at 8K-point frames on synthetic drives); n//16 = 512 leaves
-        # a wide margin while keeping the meta scatter 16x narrower than
-        # full width.  Bootstrap frames overflow into the exact full-width
-        # fallback below.
+        # 12-30 at 8K-point frames on synthetic drives); n//32 = 256 at the
+        # 8K default keeps the per-trip meta scatter 32x narrower than full
+        # width while still committing a typical frame in ONE while_loop
+        # trip.  Larger allocations just take more trips (see docstring).
         fresh_capacity = max(128, n // 32)
     fresh_capacity = min(fresh_capacity, n)
     inv = 1.0 / voxel_size

@@ -302,10 +302,12 @@ def make_sharded_step(config: Config, mesh, donate: bool = True):
             iterations=P("data"), num_correspondences=P("data")),
         overflow=P("data"))
 
-    # check_vma=False: the varying-manual-axes checker (jax 0.9) mis-tracks
-    # numpy constants captured inside while_loop bodies under vmap-in-
-    # shard_map composition; semantics are unaffected (collectives are all
-    # explicit here).
+    # check_vma=False: the varying-manual-axes checker (jax 0.9.0, the
+    # pinned environment version) mis-tracks numpy constants captured
+    # inside while_loop bodies under vmap-in-shard_map composition;
+    # semantics are unaffected (collectives are all explicit here).
+    # RE-TEST on any jax upgrade: flip to True and run
+    # tests/test_parallel.py — if the checker passes, drop this override.
     fn = jax.shard_map(
         local_batch_step, mesh=mesh,
         in_specs=(state_specs, P("data"), P("data"), P("data"), P("data"),

@@ -35,6 +35,7 @@ def decompress_block(src: bytes, max_size: int | None = None,
     standalone (fresh-buffer) calls; shared-buffer callers read ``out``
     directly and get ``b""`` back (skipping a per-block copy).
     """
+    caller_owns_out = out is not None
     if out is None:
         out = bytearray()
     block_start = len(out)
@@ -79,7 +80,7 @@ def decompress_block(src: bytes, max_size: int | None = None,
             raise ValueError("LZ4 block exceeds declared size")
     # The frame decoder reads the shared buffer directly; copying the
     # block's bytes out matters only for standalone (fresh-buffer) calls.
-    return bytes(out[block_start:]) if block_start == 0 else b""
+    return b"" if caller_owns_out else bytes(out)
 
 
 def compress_block(data: bytes) -> bytes:

@@ -240,10 +240,17 @@ class McapReader:
                         cid, cnt = struct.unpack_from("<HQ", rec, pos)
                         counts[cid] = cnt
                         pos += 10
-            if counts is None or not channels:
+            # The spec allows a writer to omit channel_message_counts (or
+            # individual channels) from Statistics; an empty map — or a
+            # topic none of whose channel ids appear in the map — means
+            # "no summary info", not "zero messages": fall back to rescan.
+            if not counts or not channels:
+                return None
+            topic_cids = {cid for cid, t in channels.items() if t == topic}
+            if topic_cids and not (topic_cids & counts.keys()):
                 return None
             return sum(cnt for cid, cnt in counts.items()
-                       if channels.get(cid) == topic)
+                       if cid in topic_cids)
         except (OSError, struct.error):
             return None
         finally:
