@@ -446,9 +446,98 @@ def nn_from_candidates(cand: CandidateSet, q: P3, query_mask,
     return nearest, dist
 
 
+def nearest_neighbor_native(m: MapState, q: P3, query_mask,
+                            voxel_size: float):
+    """Full-27-neighborhood GetClosestNeighbor in GATHER-NATIVE layout.
+
+    Same selection semantics (packed distance key with (offset id, entry
+    lane) tie-break) as ``gather_candidates`` + ``nn_from_candidates``, but
+    every tensor keeps the row gather's own (V, N, lanes) layout.  The
+    cached-candidate pipeline transposes the selected words to a (V, K, N)
+    cache because the GN loop re-reads them many times; when the
+    association is consumed ONCE (the exact re-gather-per-iteration mode,
+    Registration.cpp:179-187), that relayout is pure loss — XLA propagates
+    the N-minor preference backward through the select chain and inserts a
+    full layout-changing copy of the (27, N, G*R) gather output (10.6 MB at
+    the 64K-regime config, measured ~35 us per association, paid EVERY GN
+    iteration).  Keeping the reduction axes on (offset, lane) instead makes
+    the whole chain layout-stable: gather -> select -> distance/key ->
+    min-reduce, no transposed intermediates at all.
+
+    Returns (P3 neighbors (N,), dist (N,)); inf distance when no candidate.
+    """
+    k, g = m.block_size, m.bucket_slots
+    r = k + _META_LANES
+    n = q.x.shape[0]
+    inv = 1.0 / voxel_size
+    base_x = jnp.floor(q.x * inv).astype(jnp.int32)
+    base_y = jnp.floor(q.y * inv).astype(jnp.int32)
+    base_z = jnp.floor(q.z * inv).astype(jnp.int32)
+    bx = base_x[None, :] + _OFFX[:, None]                         # (27, N)
+    by = base_y[None, :] + _OFFY[:, None]
+    bz = base_z[None, :] + _OFFZ[:, None]
+
+    bucket = bucket_of(bx, by, bz, m.num_buckets)
+    fpq = fingerprint(bx, by, bz)
+    ukx = bx.astype(jnp.uint32)
+    uky = by.astype(jnp.uint32)
+    ukz = bz.astype(jnp.uint32)
+    fat = m.table[bucket]                                         # (27, N, G*R)
+
+    words = jnp.zeros((27, n, k), jnp.uint32)
+    anyhit = jnp.zeros((27, n), bool)
+    for gi in range(g):
+        sub = fat[..., gi * r:(gi + 1) * r]
+        hit = ((sub[..., k] == fpq) & (sub[..., k + 1] == ukx)
+               & (sub[..., k + 2] == uky) & (sub[..., k + 3] == ukz))
+        words = words + jnp.where(hit[..., None], sub[..., :k],
+                                  jnp.uint32(0))
+        anyhit = anyhit | hit
+    words = jnp.where(anyhit[..., None], words, jnp.uint32(PACKED_SENTINEL))
+
+    pts = unpack_offsets(words, bx[..., None], by[..., None], bz[..., None],
+                         voxel_size, q.x.dtype)                   # (27, N, K)
+    dx = pts.x - q.x[None, :, None]
+    dy = pts.y - q.y[None, :, None]
+    dz = pts.z - q.z[None, :, None]
+    d2 = dx * dx + dy * dy + dz * dz
+
+    valid = words != jnp.uint32(PACKED_SENTINEL)
+    lane = jax.lax.broadcasted_iota(jnp.uint32, (27, n, k), 2)
+    rel = jax.lax.broadcasted_iota(jnp.uint32, (27, n, k), 0)
+    lo = jnp.uint32(0x3FF)
+    key = (jax.lax.bitcast_convert_type(d2, jnp.uint32) & ~lo) | (rel << 5) | lane
+    key = jnp.where(valid & query_mask[None, :, None], key,
+                    jnp.uint32(0xFFFFFFFF))
+    # Two single-axis reductions (minor lane axis first, then the offset
+    # axis): a joint axis=(0, 2) reduce makes XLA's layout assignment
+    # prefer N-minor inputs and re-inserts the full-gather transposed copy
+    # this path exists to avoid.
+    best = jnp.min(jnp.min(key, axis=2), axis=0)                  # (N,)
+
+    pick = key == best[None, :, None]
+    word = jnp.sum(jnp.sum(jnp.where(pick, words, jnp.uint32(0)), axis=2),
+                   axis=0)
+    wx, wy, wz = _rel_to_offsets(((best >> 5) & jnp.uint32(31)).astype(jnp.int32))
+    nearest = unpack_offsets(word, base_x + wx, base_y + wy, base_z + wz,
+                             voxel_size, q.x.dtype)
+    ex = nearest.x - q.x
+    ey = nearest.y - q.y
+    ez = nearest.z - q.z
+    has = best != jnp.uint32(0xFFFFFFFF)
+    dist = jnp.where(query_mask & has,
+                     jnp.sqrt(ex * ex + ey * ey + ez * ez), jnp.inf)
+    return nearest, dist
+
+
 def nearest_neighbor(m: MapState, q: P3, query_mask, voxel_size: float,
                      max_probes: int, num_candidate_voxels: int = 27):
     """Batched GetClosestNeighbor over the (possibly pruned) neighborhood."""
+    if num_candidate_voxels >= 27:
+        # The unpruned neighborhood needs no box-bound sort and no cached
+        # candidate transpose — the layout-stable path is ~2x cheaper per
+        # association (see nearest_neighbor_native).
+        return nearest_neighbor_native(m, q, query_mask, voxel_size)
     cand = gather_candidates(m, q, voxel_size, max_probes, num_candidate_voxels)
     return nn_from_candidates(cand, q, query_mask, voxel_size)
 
