@@ -91,6 +91,73 @@ def packable_span(voxel_size: float, max_extent: float | None) -> bool:
 PACKED_WORD_MIN_N = 32768
 
 
+def _packed_downsample_core(p: P3, mask, voxel_size: float,
+                            tiebreak: str = "first"):
+    """Grouping + compaction of the packed-word downsample path.
+
+    Returns (fkey (N,) u32, fword (N,) u32, (mnx, mny, mnz), num_heads):
+    the first ``num_heads`` rows of (fkey, fword) are the surviving voxels
+    in voxel-lex order; the tail is sentinel-keyed.  The compaction is ONE
+    2-operand unstable sort: head keys are UNIQUE (one head per voxel), so
+    re-keying non-heads to the sentinel and sorting by key directly is
+    bit-identical to the old (pos, key, word) 3-operand sort at ~2/3 the
+    cost (~14.5 us/operand at 64K, docs/performance.md cost model).
+    """
+    cx, cy, cz = voxel_coords_planar(p, voxel_size)
+    n = cx.shape[0]
+    inv = 1.0 / voxel_size
+    key = pack_rebased_keys(cx, cy, cz, mask)
+    wx = jnp.clip((p.x * inv - cx) * 1024.0, 0, 1023).astype(jnp.uint32)
+    wy = jnp.clip((p.y * inv - cy) * 1024.0, 0, 1023).astype(jnp.uint32)
+    wz = jnp.clip((p.z * inv - cz) * 1024.0, 0, 1023).astype(jnp.uint32)
+    word = jnp.where(mask, (wx << 20) | (wy << 10) | wz, jnp.uint32(0))
+    idx = jnp.arange(n, dtype=jnp.int32)
+    if tiebreak == "first":
+        # (key, idx) is unique, so the unstable 2-key sort IS the stable
+        # 1-key sort, without XLA's appended-iota operand.
+        key, _, word = jax.lax.sort((key, idx, word), num_keys=2,
+                                    is_stable=False)
+    else:
+        # "min": representative = smallest quantized offset — one fewer
+        # sort operand, and permutation-invariant.
+        assert tiebreak == "min", tiebreak
+        key, word = jax.lax.sort((key, word), num_keys=2, is_stable=False)
+    valid = key != jnp.uint32(PACKED_KEY_SENTINEL)
+    head = (key != jnp.roll(key, 1)).at[0].set(True) & valid
+    key2 = jnp.where(head, key, jnp.uint32(PACKED_KEY_SENTINEL))
+    fkey, fword = jax.lax.sort((key2, word), num_keys=1, is_stable=False)
+    big = jnp.int32(1 << 30)
+    mnx = jnp.min(jnp.where(mask, cx, big))
+    mny = jnp.min(jnp.where(mask, cy, big))
+    mnz = jnp.min(jnp.where(mask, cz, big))
+    return fkey, fword, (mnx, mny, mnz), jnp.sum(head)
+
+
+def _reconstruct_packed(fkey, fword, mins, voxel_size: float):
+    """(key, word) rows -> P3 world points (bin centres), planes aligned
+    with the input rows (garbage on sentinel rows — callers mask)."""
+    mnx, mny, mnz = mins
+    ten = jnp.uint32(1023)
+    half = jnp.float32(0.5 / 1024.0)
+
+    def rec(kshift, wshift, mn):
+        c = ((fkey >> kshift) & ten).astype(jnp.int32) + mn
+        o = ((fword >> wshift) & ten).astype(jnp.float32)
+        return (c.astype(jnp.float32) + o * (1.0 / 1024.0) + half
+                ) * voxel_size
+
+    return P3(rec(20, 20, mnx), rec(10, 10, mny), rec(0, 0, mnz))
+
+
+def _truncate(planes: P3, n: int, out_size: int):
+    if out_size <= n:
+        return P3(planes.x[:out_size], planes.y[:out_size],
+                  planes.z[:out_size])
+    pad = out_size - n
+    return P3(*(jnp.concatenate([a, jnp.zeros((pad,), a.dtype)])
+                for a in (planes.x, planes.y, planes.z)))
+
+
 def voxel_downsample(p: P3, mask, voxel_size: float, out_size: int,
                      max_extent: float | None = None,
                      tiebreak: str = "first"):
@@ -128,52 +195,12 @@ def voxel_downsample(p: P3, mask, voxel_size: float, out_size: int,
     """
     cx, cy, cz = voxel_coords_planar(p, voxel_size)
     n = cx.shape[0]
-    inv = 1.0 / voxel_size
 
-    packed_words = (packable_span(voxel_size, max_extent)
-                    and n >= PACKED_WORD_MIN_N)
-    if packed_words:
-        key = pack_rebased_keys(cx, cy, cz, mask)
-        # 10-bit within-voxel offsets; reconstruction adds the half-bin.
-        wx = jnp.clip((p.x * inv - cx) * 1024.0, 0, 1023).astype(jnp.uint32)
-        wy = jnp.clip((p.y * inv - cy) * 1024.0, 0, 1023).astype(jnp.uint32)
-        wz = jnp.clip((p.z * inv - cz) * 1024.0, 0, 1023).astype(jnp.uint32)
-        word = jnp.where(mask, (wx << 20) | (wy << 10) | wz, jnp.uint32(0))
-        idx = jnp.arange(n, dtype=jnp.int32)
-        if tiebreak == "first":
-            # (key, idx) is unique, so the unstable 2-key sort IS the
-            # stable 1-key sort, without XLA's appended-iota operand.
-            key, _, word = jax.lax.sort((key, idx, word), num_keys=2,
-                                        is_stable=False)
-        else:
-            # "min": representative = smallest quantized offset — one
-            # fewer sort operand, and permutation-invariant (equal
-            # (key, word) pairs reconstruct identically).
-            assert tiebreak == "min", tiebreak
-            key, word = jax.lax.sort((key, word), num_keys=2,
-                                     is_stable=False)
-        valid = key != jnp.uint32(PACKED_KEY_SENTINEL)
-        head = (key != jnp.roll(key, 1)).at[0].set(True) & valid
-        pos = jnp.where(head, idx, jnp.int32(n))
-        # pos is unique for heads; garbage rows sort last and are masked.
-        _, fkey, fword = jax.lax.sort((pos, key, word), num_keys=1,
-                                      is_stable=False)
-        big = jnp.int32(1 << 30)
-        mnx = jnp.min(jnp.where(mask, cx, big))
-        mny = jnp.min(jnp.where(mask, cy, big))
-        mnz = jnp.min(jnp.where(mask, cz, big))
-        ten = jnp.uint32(1023)
-        half = jnp.float32(0.5 / 1024.0)
-
-        def rec(kshift, wshift, mn):
-            c = ((fkey >> kshift) & ten).astype(jnp.int32) + mn
-            o = ((fword >> wshift) & ten).astype(jnp.float32)
-            return (c.astype(jnp.float32) + o * (1.0 / 1024.0) + half
-                    ) * voxel_size
-
-        ox = rec(20, 20, mnx)
-        oy = rec(10, 10, mny)
-        oz = rec(0, 0, mnz)
+    if packable_span(voxel_size, max_extent) and n >= PACKED_WORD_MIN_N:
+        fkey, fword, mins, num_heads = _packed_downsample_core(
+            p, mask, voxel_size, tiebreak=tiebreak)
+        out = _truncate(_reconstruct_packed(fkey, fword, mins, voxel_size),
+                        n, out_size)
     else:
         # Stable sort; stability keeps the first input point at the head of
         # each equal-key run ("first point wins").
@@ -201,13 +228,8 @@ def voxel_downsample(p: P3, mask, voxel_size: float, out_size: int,
         key = jnp.where(head, jnp.arange(n, dtype=jnp.int32), jnp.int32(n))
         _, ox, oy, oz = jax.lax.sort((key, sx, sy, sz), num_keys=1,
                                      is_stable=False)
-    if out_size <= n:
-        out = P3(ox[:out_size], oy[:out_size], oz[:out_size])
-    else:
-        pad = out_size - n
-        out = P3(*(jnp.concatenate([a, jnp.zeros((pad,), a.dtype)])
-                   for a in (ox, oy, oz)))
-    num_heads = jnp.sum(head)
+        out = _truncate(P3(ox, oy, oz), n, out_size)
+        num_heads = jnp.sum(head)
     num_kept = jnp.minimum(num_heads, out_size)
     out_mask = jnp.arange(out_size) < num_kept
     return out, out_mask, (num_heads - num_kept).astype(jnp.int32)

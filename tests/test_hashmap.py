@@ -140,6 +140,76 @@ class TestNearestNeighbor:
                 assert abs(d[i] - ref_d) < 2e-3, (i, d[i], ref_d)
 
 
+class TestNativeNN:
+    """Direct tests for the layout-stable full-27-neighborhood path
+    (``nearest_neighbor_native``) vs the candidate-cached path."""
+
+    def _paths(self, m, queries, mask):
+        q = P3.from_array(jnp.asarray(queries, jnp.float32))
+        mk = jnp.asarray(mask)
+        nn_nat, d_nat = hashmap.nearest_neighbor_native(m, q, mk, VS)
+        cand = hashmap.gather_candidates(m, q, VS, P, 27)
+        nn_c, d_c = hashmap.nn_from_candidates(cand, q, mk, VS)
+        return (np.asarray(nn_nat.to_array()), np.asarray(d_nat),
+                np.asarray(nn_c.to_array()), np.asarray(d_c))
+
+    def test_equals_candidate_path_random(self):
+        # Same packed-key selection rule -> the two paths must agree
+        # BITWISE (coordinates and distances), not just within tolerance.
+        pts = RNG.uniform(-12, 12, size=(900, 3))
+        m = insert(make_map(), pts)
+        queries = RNG.uniform(-13, 13, size=(257, 3)).astype(np.float32)
+        mask = np.ones(257, bool)
+        mask[5] = False
+        nn_nat, d_nat, nn_c, d_c = self._paths(m, queries, mask)
+        np.testing.assert_array_equal(nn_nat, nn_c)
+        np.testing.assert_array_equal(d_nat, d_c)
+
+    def test_equals_candidate_path_tiebreaks(self):
+        # Exact distance ties: (a) same voxel, two lanes; (b) two voxels.
+        # Offsets chosen on quantization-bin centers so reconstructed
+        # distances are bit-equal; the packed key must break ties to the
+        # lowest (offset id, entry lane) on BOTH paths.
+        # Stored coords reconstruct to bin centers (o + 0.5)/1024, so an
+        # exact f32 distance tie needs offsets o1 + o2 = 1023 around a
+        # dyadic query: 0.2495 -> bin 255, 0.7505 -> bin 768.
+        m = make_map()
+        # (a) same voxel, two lanes, bit-equal distances from query 0.5
+        m = insert(m, [[0.7505, 0.5, 0.5], [0.2495, 0.5, 0.5]])
+        # (b) two voxels (9 and 11), bit-equal distances from query 10.5
+        m = insert(m, [[11.2505, 0.5, 0.5], [9.7495, 0.5, 0.5]])
+        queries = np.array([[0.5, 0.5, 0.5], [10.5, 0.5, 0.5]], np.float32)
+        nn_nat, d_nat, nn_c, d_c = self._paths(m, queries, np.ones(2, bool))
+        np.testing.assert_array_equal(nn_nat, nn_c)
+        np.testing.assert_array_equal(d_nat, d_c)
+        # (a): true tie -> lowest entry lane = first-inserted (0.7505)
+        assert abs(nn_nat[0, 0] - 0.7505) < 2e-3
+        # (b): true tie -> lowest offset id = (-1, 0, 0) voxel = 9.7495,
+        # even though the voxel-11 point was inserted first
+        assert abs(nn_nat[1, 0] - 9.7495) < 2e-3
+
+    def test_empty_map_inf(self):
+        nn_nat, d_nat, nn_c, d_c = self._paths(
+            make_map(), np.zeros((4, 3), np.float32), np.ones(4, bool))
+        assert np.all(np.isinf(d_nat))
+        np.testing.assert_array_equal(d_nat, d_c)
+
+    def test_dispatch_native_for_full_neighborhood(self, monkeypatch):
+        # nearest_neighbor must route num_candidate_voxels >= 27 to the
+        # native path and smaller values to the candidate-cached path.
+        calls = []
+        real = hashmap.nearest_neighbor_native
+        monkeypatch.setattr(
+            hashmap, "nearest_neighbor_native",
+            lambda *a, **k: calls.append("native") or real(*a, **k))
+        m = insert(make_map(), [[0.5, 0.5, 0.5]])
+        q = P3.from_array(jnp.zeros((1, 3), jnp.float32))
+        hashmap.nearest_neighbor(m, q, jnp.ones(1, bool), VS, P, 27)
+        assert calls == ["native"]
+        hashmap.nearest_neighbor(m, q, jnp.ones(1, bool), VS, P, 10)
+        assert calls == ["native"]  # pruned path did NOT call native
+
+
 class TestEvictAndUpdate:
     def test_evict_far(self):
         m = insert(make_map(), [[0.5, 0.5, 0.5], [50.5, 0.5, 0.5]])

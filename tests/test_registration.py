@@ -166,3 +166,46 @@ class TestComputeRobotMotion:
         assert np.linalg.norm(err[:3, 3]) < 5e-3
         # converged fast
         assert int(dbg.iterations) <= 3
+
+
+class TestGnBackendDecision:
+    """Pin the Pallas engagement envelope at the knob (Config.gn_backend).
+
+    The fused kernel keeps ~6 (rows, N) f32 planes in the 16 MB scoped
+    VMEM; ``pallas_gn_fits`` is the static gate.  The STOCK Config
+    (neighbor_candidates=10, max_points_per_voxel=20, max_source=8192)
+    does NOT fit — gn_backend="auto" silently takes the XLA while_loop
+    path at those shapes; the bench configs (max_source=1024) do fit.
+    """
+
+    def test_stock_config_never_engages_pallas(self):
+        from kinematic_icp_tpu.config import Config
+        cfg = Config()
+        rows = cfg.neighbor_candidates * cfg.max_points_per_voxel
+        assert not registration.pallas_gn_fits(rows, cfg.max_source)
+
+    def test_bench_shapes_fit(self):
+        # the 64K-regime bench config: 10 candidate voxels x K=20, N=1024
+        assert registration.pallas_gn_fits(10 * 20, 1024)
+        # full-27 neighborhood at N=1024 also fits
+        assert registration.pallas_gn_fits(27 * 20, 1024)
+        # N=4096 at 27x20 rows does not (documented in pallas_gn_fits)
+        assert not registration.pallas_gn_fits(27 * 20, 4096)
+
+    def test_auto_resolves_to_xla_off_tpu(self, monkeypatch):
+        # On the CPU test backend, auto must not touch the pallas module
+        # even for shapes that fit.
+        import kinematic_icp_tpu.ops.pallas_gn as pallas_gn
+
+        def boom(*a, **k):
+            raise AssertionError("pallas path engaged on CPU")
+
+        monkeypatch.setattr(pallas_gn, "gn_solve", boom)
+        world = make_world_points(400)
+        m = build_map(world)
+        src = world[:256] + np.float32(0.05)
+        pose, _ = registration.compute_robot_motion(
+            m, P3.from_array(jnp.asarray(src)), jnp.ones(256, bool),
+            jnp.eye(4), jnp.eye(4), jnp.float32(2.0),
+            gn_backend="auto", **GN_KW)
+        assert np.all(np.isfinite(np.asarray(pose)))
