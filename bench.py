@@ -274,15 +274,23 @@ def main():
 
     # ---- reference-exact mode (27 voxels, re-gather every GN iteration) --
     if not FAST:
+        # Exact mode runs at its own best table shape: G=4 x 16384 buckets
+        # (the shared G=5 row hits a slow in-loop gather path, measured
+        # ~1.6x slower; tools/exact_experiments.py) — the trajectory is
+        # BITWISE identical across table shapes, and overflow stays 0.
         cfg_exact = dataclasses.replace(cfg_large, neighbor_candidates=27,
-                                        exact_gn_reassociation=True)
-        fps_exact, poses_exact, _ = time_tpu_sequence(cfg_exact, seq_large,
-                                                      runs=2)
+                                        exact_gn_reassociation=True,
+                                        map_capacity=1 << 16, max_probes=4)
+        fps_exact, poses_exact, extras_exact = time_tpu_sequence(
+            cfg_exact, seq_large, runs=2)
         details["exact_mode"] = {
             "fps": round(fps_exact, 1),
             "ate_vs_reference_m": round(float(ate_rmse(
                 list(native_poses), list(poses_exact), align=False)), 4),
-            "config": "neighbor_candidates=27 exact_gn_reassociation",
+            "overflow_totals": extras_exact["overflow_totals"],
+            "config": ("neighbor_candidates=27 exact_gn_reassociation "
+                       "map_capacity=65536 max_probes=4 (own best table "
+                       "shape; trajectory bitwise-equal across shapes)"),
         }
         details["default_vs_exact_ate_m"] = round(float(ate_rmse(
             list(poses_exact), list(poses_large), align=False)), 4)
@@ -383,37 +391,90 @@ def main():
             and (ate_oracle <= max(ATE_GATE_M, 3.0 * small_floor)
                  or rpe_small <= max(0.002, 2.0 * small_rpe_floor)))
 
-        # Batched multi-bag DP on the same chip (BASELINE config 3).
+        # Batched multi-bag DP on the same chip (BASELINE config 3):
+        # a small sweep; the full batch-scaling table lives in
+        # docs/performance.md (tools/batch_sweep.py).
         from kinematic_icp_tpu.offline import (init_batched_state,
                                                make_batched_sequence_runner,
                                                pad_sequence)
-        batch = int(os.environ.get("BENCH_BATCH", "8"))
+        batches = [int(b) for b in os.environ.get(
+            "BENCH_BATCH", "2,8,16").split(",")]
         pts, ts, mask, has_ts, rels = pad_sequence(
             seq_small["frames"], seq_small["rel_odometry"], cfg_small)
-        bargs = tuple(
-            jnp.asarray(np.broadcast_to(np.asarray(a)[:, None],
-                                        (a.shape[0], batch) + a.shape[1:]))
-            for a in (pts, ts, mask, has_ts, rels))
-        brunner = make_batched_sequence_runner(cfg_small)
         ext = jnp.eye(4)
-        bstate = init_batched_state(cfg_small, batch)
-        _, bposes, _ = brunner(bstate, bargs[0], bargs[1], bargs[2], bargs[3],
-                            ext, bargs[4])
-        np.asarray(bposes)
-        btimes = []
-        for _ in range(BENCH_RUNS):
+        sweep = []
+        for batch in batches:
+            bargs = tuple(
+                jnp.asarray(np.broadcast_to(
+                    np.asarray(a)[:, None],
+                    (a.shape[0], batch) + a.shape[1:]))
+                for a in (pts, ts, mask, has_ts, rels))
+            brunner = make_batched_sequence_runner(cfg_small)
             bstate = init_batched_state(cfg_small, batch)
-            jax.tree.map(lambda x: x.block_until_ready(), bstate)
-            t0 = time.time()
             _, bposes, _ = brunner(bstate, bargs[0], bargs[1], bargs[2],
-                                bargs[3], ext, bargs[4])
+                                   bargs[3], ext, bargs[4])
             np.asarray(bposes)
-            btimes.append(time.time() - t0)
-        batched_fps = batch * SMALL_FRAMES / min(btimes)
+            btimes = []
+            for _ in range(BENCH_RUNS):
+                bstate = init_batched_state(cfg_small, batch)
+                jax.tree.map(lambda x: x.block_until_ready(), bstate)
+                t0 = time.time()
+                _, bposes, _ = brunner(bstate, bargs[0], bargs[1],
+                                       bargs[2], bargs[3], ext, bargs[4])
+                np.asarray(bposes)
+                btimes.append(time.time() - t0)
+            batched_fps = batch * SMALL_FRAMES / min(btimes)
+            sweep.append({
+                "batch": batch,
+                "aggregate_frames_per_sec": round(batched_fps, 1),
+                "speedup_vs_single_sequence": round(
+                    batched_fps / fps_small, 3),
+            })
         details["small_regime"]["batched_dp"] = {
-            "batch": batch,
-            "aggregate_frames_per_sec": round(batched_fps, 1),
-            "speedup_vs_single_sequence": round(batched_fps / fps_small, 3),
+            **sweep[[s["batch"] for s in sweep].index(8)
+                    if 8 in [s["batch"] for s in sweep] else -1],
+            "sweep": sweep,
+        }
+
+    if not FAST:
+        # ---- online per-message latency (the reference's primary
+        # deployment shape: one RegisterFrame per message on the host
+        # thread, online_node.cpp:40-67).  Includes host padding,
+        # host->device transfer, dispatch, and the device->host pose +
+        # overflow sync — i.e. the real streaming path, NOT the
+        # whole-sequence lax.scan the headline measures.
+        from kinematic_icp_tpu.server import LidarOdometryServer
+
+        def online_latency(cfg, seq, warm=20):
+            server = LidarOdometryServer(cfg, extrinsic=seq["extrinsic"])
+            lat = []
+            for i, (p, t) in enumerate(seq["frames"]):
+                t0 = time.perf_counter()
+                server.register_frame(p, t, seq["rel_odometry"][i],
+                                      stamp=0.1 * (i + 1))
+                lat.append(time.perf_counter() - t0)
+            ms = np.asarray(lat[warm:]) * 1e3
+            return {
+                "frames_measured": len(ms),
+                "p50_ms": round(float(np.percentile(ms, 50)), 2),
+                "p90_ms": round(float(np.percentile(ms, 90)), 2),
+                "p99_ms": round(float(np.percentile(ms, 99)), 2),
+                "mean_ms": round(float(ms.mean()), 2),
+                "online_fps": round(1e3 / float(ms.mean()), 1),
+            }
+
+        n_lat = min(120, LARGE_FRAMES)
+        details["online_latency"] = {
+            "large_64k": online_latency(
+                cfg_large, {k: (v[:n_lat] if isinstance(v, list) else v)
+                            for k, v in seq_large.items()}),
+            "small": online_latency(
+                cfg_small, {k: (v[:n_lat] if isinstance(v, list) else v)
+                            for k, v in seq_small.items()}),
+            "note": "per-message wall latency of server.register_frame "
+                    "(host pad + transfer + dispatch + pose sync); the "
+                    "per-dispatch floor dominates — see "
+                    "docs/performance.md online section",
         }
 
     result = {

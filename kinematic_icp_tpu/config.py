@@ -65,6 +65,14 @@ class Config:
     #: re-gather candidates on every GN iteration (reference behavior)
     #: instead of re-selecting within per-frame cached candidates
     exact_gn_reassociation: bool = False
+    #: with exact_gn_reassociation: re-gather only the V nearest voxels by
+    #: box lower bound per iteration, PLUS a per-frame exactness
+    #: certificate (no skipped voxel could have supplied a better or
+    #: tie-breaking sub-tau neighbor) with a lax.cond fallback to the
+    #: full-27 loop on violation — bit-identical results to the full
+    #: re-gather at a fraction of the gather bytes when certificates hold.
+    #: 0 (default) disables pruning (always full 27).
+    exact_prune_candidates: int = 0
     #: keep only the top-M candidates per voxel (ranked at the initial
     #: guess) for GN re-selection; 0 (default) keeps all
     #: max_points_per_voxel.  Measured on synthetic sequences the reduction
@@ -74,8 +82,14 @@ class Config:
     #: GN solver lowering: "pallas" fuses the whole candidate-cached loop
     #: into one TPU kernel (ops/pallas_gn.py — removes ~25 us/iteration of
     #: fusion-launch overhead), "xla" uses the lax.while_loop lowering,
-    #: "auto" picks pallas on TPU and xla elsewhere.  Ignored (xla) when
-    #: exact_gn_reassociation is set.
+    #: "auto" picks pallas on TPU and xla elsewhere.  NOTE the Pallas
+    #: kernel engages only when its candidate planes fit scoped VMEM
+    #: (registration.pallas_gn_fits): the STOCK Config (27x20 candidate
+    #: rows x max_source=8192) does NOT fit, so "auto" silently takes the
+    #: XLA path — the bench configs (max_source=1024) do fit.  With
+    #: exact_gn_reassociation the kernel runs the crossing-certified exact
+    #: path (fallback to the XLA full-27 loop on certificate violation);
+    #: exact_prune_candidates applies only to the XLA lowering.
     gn_backend: str = "auto"
     #: which point survives per voxel in the wide-frame (packed-word)
     #: downsample: "first" = first in input order (reference semantics,

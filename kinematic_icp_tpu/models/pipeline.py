@@ -143,6 +143,7 @@ def register_frame(state: OdometryState, points, timestamps, mask,
         fixed_regularization=config.fixed_regularization,
         num_candidate_voxels=config.neighbor_candidates,
         exact_gn_reassociation=config.exact_gn_reassociation,
+        exact_prune_candidates=config.exact_prune_candidates,
         gn_candidates_per_voxel=config.gn_candidates_per_voxel,
         gn_backend=config.gn_backend,
         threshold_max_range=config.max_range)

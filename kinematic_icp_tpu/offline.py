@@ -56,7 +56,7 @@ def _gated_step(state, frame, config: Config, extrinsic):
 
 
 @functools.lru_cache(maxsize=8)
-def make_sequence_runner(config: Config):
+def make_sequence_runner(config: Config, unroll: int = 2):
     """Build the jitted scan: (state, frames...) -> (final_state, poses)."""
 
     def run(state, pts, ts, mask, has_ts, extrinsic, rels):
@@ -71,10 +71,11 @@ def make_sequence_runner(config: Config):
         # unroll=2: each scan trip boundary costs ~30-90 us of sequencer
         # overhead on top of the frame's ops (measured: 498 us/frame of
         # device-op time vs 590 us/frame of wall inside one dispatch);
-        # unrolling halves the number of boundaries for 2x code size.
+        # unrolling halves the number of boundaries for 2x code size
+        # (unroll=4 measured no further gain, round 2 and round 4).
         final_state, (poses, overflow) = jax.lax.scan(
             body, state, (pts, ts, mask, has_ts, rels, active, twists),
-            unroll=2)
+            unroll=unroll)
         # (3,) totals: [downsample drops, source drops, insert failures] —
         # the reference drops nothing (README.md:79), so nonzero means the
         # static capacities are undersized; surfaced so batch runs cannot

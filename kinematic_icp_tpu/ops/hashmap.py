@@ -288,7 +288,8 @@ def _rel_to_offsets(rel):
 
 
 def gather_candidates(m: MapState, q: P3, voxel_size: float, max_probes: int,
-                      num_candidate_voxels: int = 27) -> CandidateSet:
+                      num_candidate_voxels: int = 27,
+                      return_skip_bound: bool = False):
     """One gather pass: candidate map points around each query.
 
     Args:
@@ -297,10 +298,21 @@ def gather_candidates(m: MapState, q: P3, voxel_size: float, max_probes: int,
         smallest point-to-box lower bound are fetched (V=27 is exact; the
         box bound makes smaller V a principled approximation: a voxel can
         only be skipped in favor of voxels that are geometrically closer).
+      return_skip_bound: also return ``skip_lb_d2`` (N,) f32 — per query,
+        the smallest point-to-box SQUARED lower bound among the 27-V voxels
+        NOT fetched (+inf when V=27).  This is the exactness certificate
+        for pruned search: if every query's eventual best squared distance
+        d*^2 (or tau^2, whichever is smaller — a neighbor past tau is
+        rejected either way) is < skip_lb_d2, no skipped voxel could have
+        supplied a better or tie-breaking candidate, so the pruned result
+        is bit-identical to the full 27-voxel search.  The bound is
+        conservative: the sort key masks the 5 low mantissa bits DOWNWARD,
+        so the recovered bound only under-estimates, never over-estimates.
 
-    Returns a CandidateSet of packed words; the fat bucket rows are consumed
-    by a single select chain (slot fingerprint + exact-key match) so only
-    the (V, N, K) packed words persist, not the (V, N, G*R) gather output.
+    Returns a CandidateSet of packed words (plus skip_lb_d2 when
+    requested); the fat bucket rows are consumed by a single select chain
+    (slot fingerprint + exact-key match) so only the (V, N, K) packed words
+    persist, not the (V, N, G*R) gather output.
     """
     k, g = m.block_size, m.bucket_slots
     r = k + _META_LANES
@@ -310,6 +322,7 @@ def gather_candidates(m: MapState, q: P3, voxel_size: float, max_probes: int,
     base_y = jnp.floor(q.y * inv).astype(jnp.int32)
     base_z = jnp.floor(q.z * inv).astype(jnp.int32)
 
+    skip_lb_d2 = None
     if v < 27:
         # Select the V nearest voxels by box lower bound.  The offset index
         # rides in the low 5 bits of the bitcast distance key, so this is a
@@ -322,9 +335,17 @@ def gather_candidates(m: MapState, q: P3, voxel_size: float, max_probes: int,
         key = (jax.lax.bitcast_convert_type(lb, jnp.uint32)
                & jnp.uint32(0xFFFFFFE0))
         key = key | jnp.arange(27, dtype=jnp.uint32)[:, None]
-        key = jax.lax.sort(key, dimension=0)[:v]                  # (V, N)
+        key = jax.lax.sort(key, dimension=0)                      # (27, N)
+        if return_skip_bound:
+            # Row v = the nearest SKIPPED box (keys sort ascending); strip
+            # the offset-id bits to recover its (under-estimated) bound.
+            skip_lb_d2 = jax.lax.bitcast_convert_type(
+                key[v] & jnp.uint32(0xFFFFFFE0), jnp.float32)
+        key = key[:v]                                             # (V, N)
         rel = (key & jnp.uint32(31)).astype(jnp.int32)            # offset id
     else:
+        if return_skip_bound:
+            skip_lb_d2 = jnp.full(q.x.shape, jnp.inf, jnp.float32)
         rel = jnp.broadcast_to(jnp.arange(27, dtype=jnp.int32)[:, None],
                                (27, q.x.shape[0]))
     ox, oy, oz = _rel_to_offsets(rel)
@@ -352,8 +373,11 @@ def gather_candidates(m: MapState, q: P3, voxel_size: float, max_probes: int,
                                   jnp.uint32(0))
         anyhit = anyhit | hit
     words = jnp.where(anyhit[..., None], words, jnp.uint32(PACKED_SENTINEL))
-    return CandidateSet(words=jnp.swapaxes(words, 1, 2), rel=rel,
+    cand = CandidateSet(words=jnp.swapaxes(words, 1, 2), rel=rel,
                         base_x=base_x, base_y=base_y, base_z=base_z)
+    if return_skip_bound:
+        return cand, skip_lb_d2
+    return cand
 
 
 def _candidate_points(cand: CandidateSet, voxel_size: float, dtype):

@@ -28,6 +28,7 @@ and the (1, N) source planes — all resident in VMEM for the whole solve.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -83,10 +84,11 @@ def _motion_delta(dx0, dx1):
 
 
 def _kernel(params_ref, px_ref, py_ref, pz_ref, tag_ref,
-            sx_ref, sy_ref, sz_ref, sm_ref,
+            sx_ref, sy_ref, sz_ref, sm_ref, bx_ref, by_ref, bz_ref,
             pose_out_ref, stats_out_ref, err_out_ref, *,
             max_num_iterations: int, convergence_criterion: float,
-            use_adaptive_regularization: bool, fixed_regularization: float):
+            use_adaptive_regularization: bool, fixed_regularization: float,
+            check_crossing: bool):
     px = px_ref[:]                      # (VK, N) candidate planes
     py = py_ref[:]
     pz = pz_ref[:]
@@ -95,16 +97,23 @@ def _kernel(params_ref, px_ref, py_ref, pz_ref, tag_ref,
     sy = sy_ref[:]
     sz = sz_ref[:]
     sm = sm_ref[:]                      # (1, N) source mask as f32
+    if check_crossing:
+        bx = bx_ref[:]                  # (1, N) gather-time voxel coords
+        by = by_ref[:]                  # (as f32 — exact to 2^24)
+        bz = bz_ref[:]
 
     def P(i):
         return params_ref[0, i]
 
     tau = P(12)
+    inv_vs = P(14)
 
     lo = jnp.uint32(0x3FF)
 
     def select(r00, r01, r02, r10, r11, r12, r20, r21, r22, t0, t1, t2s):
-        """nn_from_candidates + threshold gate, fused; returns targets+corr."""
+        """nn_from_candidates + threshold gate, fused; returns targets+corr
+        (+ the window-margin exactness certificate when enabled, see
+        below)."""
         wx = r00 * sx + r01 * sy + r02 * sz + t0          # (1, N)
         wy = r10 * sx + r11 * sy + r12 * sz + t1
         wz = r20 * sx + r21 * sy + r22 * sz + t2s
@@ -125,9 +134,39 @@ def _kernel(params_ref, px_ref, py_ref, pz_ref, tag_ref,
         ex = nx - wx
         ey = ny - wy
         ez = nz - wz
-        dist = jnp.sqrt(ex * ex + ey * ey + ez * ez)
+        dw2 = ex * ex + ey * ey + ez * ez
+        dist = jnp.sqrt(dw2)
         corr = sm * (dist < tau).astype(jnp.float32)      # (1, N)
-        return nx, ny, nz, corr
+        if not check_crossing:
+            return nx, ny, nz, corr, jnp.float32(0.0)
+        # Window-margin certificate: every cached candidate lies in the
+        # 3-voxel window W = [vs*(b-1), vs*(b+2)) around the gather-time
+        # voxel b.  The selection at the CURRENT pose is identical to the
+        # reference's re-gather (27 voxels around the current voxel c')
+        # when, per masked query, inflate(min(d*, tau)^2) < min(m, vs)^2:
+        #   * points the reference sees but we don't live outside W, at
+        #     distance >= m = dist(w, boundary of W);
+        #   * points we see but the reference doesn't (c' != b) are >= 2
+        #     voxels from c' along some axis, i.e. at distance > vs
+        #     (and when w leaves W entirely, m <= 0 always fires);
+        #   * a candidate past tau is rejected by both sides regardless.
+        # inflate() lifts d*^2 to the top of the NEXT selection-key mask
+        # bucket (low-10-mantissa quantized ties break by offset id, and
+        # it absorbs the dw2-vs-d2 recompute drift).  For an unmoved query
+        # m >= vs, so the certificate passes whenever tau < vs — frontier
+        # queries included.
+        vs = P(15)
+        mx = jnp.minimum(wx - (bx - 1.0) * vs, (bx + 2.0) * vs - wx)
+        my = jnp.minimum(wy - (by - 1.0) * vs, (by + 2.0) * vs - wy)
+        mz = jnp.minimum(wz - (bz - 1.0) * vs, (bz + 2.0) * vs - wz)
+        margin = jnp.maximum(
+            jnp.minimum(jnp.minimum(jnp.minimum(mx, my), mz), vs), 0.0)
+        cap2 = jnp.minimum(dw2, tau * tau)
+        cap2 = pltpu.bitcast(
+            (pltpu.bitcast(cap2, jnp.uint32) | jnp.uint32(0x3FF))
+            + jnp.uint32(0x400), jnp.float32)
+        viol = jnp.sum(sm * (cap2 >= margin * margin).astype(jnp.float32))
+        return nx, ny, nz, corr, viol
 
     def normal_eqs(r00, r01, r10, r11, r20, r21, t0, t1, t2s,
                    r02, r12, r22, nx, ny, nz, corr):
@@ -154,8 +193,12 @@ def _kernel(params_ref, px_ref, py_ref, pz_ref, tag_ref,
         return a00, a01, a11, b0, b1, n
 
     # ---- initial association at the guess + regularizer ------------------
+    # The certificate runs at the INITIAL selection too: the in-kernel
+    # transform of the guess can differ from the XLA-side one that chose
+    # the gather windows by an ulp (FMA contraction), which the margin's
+    # one-bucket inflation absorbs.
     guess = tuple(P(i) for i in range(12))
-    nx, ny, nz, corr = select(*guess)
+    nx, ny, nz, corr, crossed0 = select(*guess)
     if use_adaptive_regularization:
         g = guess
         wx = g[0] * sx + g[1] * sy + g[2] * sz + g[9]
@@ -177,12 +220,12 @@ def _kernel(params_ref, px_ref, py_ref, pz_ref, tag_ref,
         # while body in under a second, while the (unrolled) fori lowering
         # takes ~4 MINUTES through the remote TPU compiler for the same
         # body; the dynamic exit also skips converged iterations' work.
-        it, conv = carry[-2], carry[-1]
+        it, conv = carry[-3], carry[-2]
         return (it < max_num_iterations) & ~conv
 
     def body(carry):
         (r00, r01, r02, r10, r11, r12, r20, r21, r22, t0, t1, t2s,
-         nx, ny, nz, corr, it, conv) = carry
+         nx, ny, nz, corr, it, conv, crossed) = carry
         a00, a01, a11, b0, b1, n = normal_eqs(
             r00, r01, r10, r11, r20, r21, t0, t1, t2s, r02, r12, r22,
             nx, ny, nz, corr)
@@ -214,15 +257,22 @@ def _kernel(params_ref, px_ref, py_ref, pz_ref, tag_ref,
 
         it = it + 1
         conv = jnp.sqrt(dx0 * dx0 + dx1 * dx1) < convergence_criterion
-        nx2, ny2, nz2, corr2 = select(n00, n01, r02, n10, n11, r12,
-                                      n20, n21, r22, nt0, nt1, nt2)
+        nx2, ny2, nz2, corr2, cr2 = select(n00, n01, r02, n10, n11, r12,
+                                           n20, n21, r22, nt0, nt1, nt2)
+        # This select feeds the NEXT iteration only when the loop
+        # continues; a trailing (post-convergence / post-last) selection
+        # never participates in the reference trajectory, so its
+        # certificate does not count.
+        used = (~conv) & (it < max_num_iterations)
         return (n00, n01, r02, n10, n11, r12, n20, n21, r22,
-                nt0, nt1, nt2, nx2, ny2, nz2, corr2, it, conv)
+                nt0, nt1, nt2, nx2, ny2, nz2, corr2, it, conv,
+                crossed + jnp.where(used, cr2, 0.0))
 
-    carry = guess + (nx, ny, nz, corr, jnp.int32(0), jnp.bool_(False))
+    carry = guess + (nx, ny, nz, corr, jnp.int32(0), jnp.bool_(False),
+                     crossed0)
     carry = jax.lax.while_loop(cond, body, carry)
     (r00, r01, r02, r10, r11, r12, r20, r21, r22, t0, t1, t2s,
-     nx, ny, nz, corr, it, conv) = carry
+     nx, ny, nz, corr, it, conv, crossed) = carry
 
     out = jnp.stack([r00, r01, r02, t0, r10, r11, r12, t1,
                      r20, r21, r22, t2s, 0.0 * t0, 0.0 * t0, 0.0 * t0,
@@ -230,6 +280,7 @@ def _kernel(params_ref, px_ref, py_ref, pz_ref, tag_ref,
     pose_out_ref[:] = out
     stats_out_ref[0, 0] = it
     stats_out_ref[0, 1] = jnp.sum(corr).astype(jnp.int32)
+    stats_out_ref[0, 2] = (crossed > 0).astype(jnp.int32)
 
     # Adaptive-threshold "odometry error in point space" of
     # E = guess^-1 @ final (CorrespondenceThreshold.cpp:7-12): rotations
@@ -254,14 +305,27 @@ def gn_solve(cand: CandidateSet, source, source_mask, guess, tau, *,
              use_adaptive_regularization: bool,
              fixed_regularization: float,
              max_range: float = 0.0,
+             check_crossing: bool = False,
              interpret: bool = False):
     """Run the whole candidate-cached GN solve as one Pallas kernel.
 
     Args mirror registration.compute_robot_motion's candidate-cached branch;
     ``guess`` is the (4, 4) initial pose.  Returns (pose (4, 4), iterations,
-    num_correspondences, odometry_error_pt) — the last is the adaptive
-    threshold's point-space error of guess^-1 @ pose, computed in-kernel
-    (scaled by ``max_range``).
+    num_correspondences, odometry_error_pt, crossed) — odometry_error_pt is
+    the adaptive threshold's point-space error of guess^-1 @ pose, computed
+    in-kernel (scaled by ``max_range``).
+
+    ``check_crossing``: every trajectory-feeding selection also evaluates
+    the WINDOW-MARGIN exactness certificate (see the kernel comment):
+    while it holds, the cached re-selection is EXACTLY the reference's
+    re-gather-per-iteration association (Registration.cpp:179-187) — the
+    re-gathered neighborhood could only add points farther than the
+    query's margin to the cached window (all past min(d*, tau)), and
+    could only drop points farther than one voxel (past any sub-tau
+    winner).  ``crossed`` (scalar bool) reports a violation; the
+    exact-mode caller re-solves those frames through the XLA full-27
+    loop.  For an unmoved query the margin is a full voxel, so the fast
+    path engages whenever tau < voxel_size regardless of map coverage.
     """
     v, k, n = cand.words.shape
     assert k <= 32, "packed NN tie-break key holds a 5-bit entry lane"
@@ -279,32 +343,48 @@ def gn_solve(cand: CandidateSet, source, source_mask, guess, tau, *,
         guess[:3, 3].astype(jnp.float32),
         jnp.asarray(tau, jnp.float32)[None],
         jnp.asarray(max_range, jnp.float32)[None],
-        jnp.zeros(2, jnp.float32),
+        jnp.full(1, 1.0 / voxel_size, jnp.float32),
+        jnp.full(1, voxel_size, jnp.float32),
     ]).reshape(1, 16)
+
+    if check_crossing:
+        bx = cand.base_x.astype(jnp.float32)[None, :]
+        by = cand.base_y.astype(jnp.float32)[None, :]
+        bz = cand.base_z.astype(jnp.float32)[None, :]
+    else:
+        bx = by = bz = jnp.zeros((1, n), jnp.float32)
 
     kern = functools.partial(
         _kernel,
         max_num_iterations=max_num_iterations,
         convergence_criterion=convergence_criterion,
         use_adaptive_regularization=use_adaptive_regularization,
-        fixed_regularization=fixed_regularization)
+        fixed_regularization=fixed_regularization,
+        check_crossing=check_crossing)
 
+    compiler_params = None
+    vmem_cap = int(os.environ.get("KICP_PALLAS_VMEM_MB", "0"))
+    if vmem_cap and not interpret:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_cap << 20)
     pose16, stats, err = pl.pallas_call(
         kern,
         out_shape=(jax.ShapeDtypeStruct((1, 16), jnp.float32),
-                   jax.ShapeDtypeStruct((1, 2), jnp.int32),
+                   jax.ShapeDtypeStruct((1, 3), jnp.int32),
                    jax.ShapeDtypeStruct((1, 1), jnp.float32)),
         in_specs=[pl.BlockSpec((1, 16), memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, 2), memory_space=pltpu.SMEM),
+                   pl.BlockSpec((1, 3), memory_space=pltpu.SMEM),
                    pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)),
+        compiler_params=compiler_params,
         interpret=interpret,
     )(params, px, py, pz, tag,
       source.x[None, :].astype(jnp.float32),
       source.y[None, :].astype(jnp.float32),
       source.z[None, :].astype(jnp.float32),
-      source_mask[None, :].astype(jnp.float32))
+      source_mask[None, :].astype(jnp.float32),
+      bx, by, bz)
 
     pose = pose16.reshape(4, 4).astype(guess.dtype)
-    return pose, stats[0, 0], stats[0, 1], err[0, 0]
+    return pose, stats[0, 0], stats[0, 1], err[0, 0], stats[0, 2] > 0

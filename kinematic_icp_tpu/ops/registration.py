@@ -42,6 +42,10 @@ class RegistrationDebug(NamedTuple):
     #: final pose are already in registers there); None on the XLA paths,
     #: where the pipeline computes it from the returned pose instead.
     odometry_error_pt: jnp.ndarray | None = None
+    #: scalar bool — pruned-exact mode's certificate was violated this
+    #: frame and the full-27 fallback loop recomputed the solve; None
+    #: unless exact_prune_candidates is active.
+    exact_fallback: jnp.ndarray | None = None
 
 
 def pallas_gn_fits(candidate_rows: int, num_queries: int) -> bool:
@@ -183,6 +187,7 @@ def compute_robot_motion(m: hashmap.MapState, source: P3, source_mask,
                          fixed_regularization: float,
                          num_candidate_voxels: int = 27,
                          exact_gn_reassociation: bool = False,
+                         exact_prune_candidates: int = 0,
                          gn_candidates_per_voxel: int = 0,
                          gn_backend: str = "auto",
                          threshold_max_range: float = 0.0):
@@ -191,10 +196,19 @@ def compute_robot_motion(m: hashmap.MapState, source: P3, source_mask,
     By default candidate map points are gathered ONCE at the initial guess
     and GN iterations re-select among them (gather-free);
     ``exact_gn_reassociation`` restores the reference's full re-gather per
-    iteration.  ``gn_backend``: "pallas" fuses the whole candidate-cached
-    loop into one TPU kernel (ops/pallas_gn.py), "xla" uses the lax
-    while_loop, "auto" picks pallas on TPU.  Returns (new_pose (4, 4),
-    RegistrationDebug).
+    iteration.  ``exact_prune_candidates`` (with exact mode) re-gathers
+    only the V nearest voxels by box lower bound per iteration and stays
+    exact: every association also checks the certificate that no skipped
+    voxel could have beaten (or tied) the found neighbor within tau, and a
+    frame with any violated certificate recomputes through the full-27
+    loop via ``lax.cond`` (see ``hashmap.gather_candidates``
+    ``return_skip_bound``).  Certificate-passing frames are BITWISE equal
+    to the full loop; fallback frames re-run the identical full-27 code
+    but inside a cond branch, where XLA's fusion context may contract FMAs
+    differently — equal to the last ulp, not bit-for-bit.  ``gn_backend``: "pallas" fuses the whole
+    candidate-cached loop into one TPU kernel (ops/pallas_gn.py), "xla"
+    uses the lax while_loop, "auto" picks pallas on TPU.  Returns
+    (new_pose (4, 4), RegistrationDebug).
     """
     guess = se3.compose44(last_pose, relative_wheel_odometry)
 
@@ -214,7 +228,7 @@ def compute_robot_motion(m: hashmap.MapState, source: P3, source_mask,
         if gn_candidates_per_voxel:
             cand = hashmap.reduce_candidates(
                 cand, world_guess, gn_candidates_per_voxel, voxel_size)
-        pose, iters, num_corr, err = pallas_gn.gn_solve(
+        pose, iters, num_corr, err, _ = pallas_gn.gn_solve(
             cand, source, source_mask, guess, max_correspondence_distance,
             voxel_size=voxel_size, max_num_iterations=max_num_iterations,
             convergence_criterion=convergence_criterion,
@@ -225,11 +239,150 @@ def compute_robot_motion(m: hashmap.MapState, source: P3, source_mask,
                                        num_correspondences=num_corr,
                                        odometry_error_pt=err)
 
+    def run_gn(associate):
+        """The reference GN loop over an ``associate(pose) -> (targets,
+        corr_mask, certificate_violated)`` function.  Returns (pose, iters,
+        num_corr, any_violation)."""
+        targets, corr_mask, viol = associate(guess)
+
+        if use_adaptive_odometry_regularization:
+            beta = compute_odometry_regularization(
+                source, targets, corr_mask, guess)
+        else:
+            beta = jnp.asarray(fixed_regularization, dtype=source.x.dtype)
+
+        def cond_fn(carry):
+            it, converged = carry[-3], carry[-2]
+            return (it < max_num_iterations) & ~converged
+
+        def body_fn(carry):
+            pose, targets, corr_mask, it, _, viol = carry
+            dx = compute_perturbation(source, targets, corr_mask, pose, beta)
+            delta = motion_model.motion_model(dx)
+            pose = se3.compose44(pose, delta)
+            converged = jnp.linalg.norm(dx) < convergence_criterion
+            # Re-associate only when the loop will continue (the reference
+            # recomputes correspondences at the end of every non-final
+            # iteration, Registration.cpp:185-186).
+            targets, corr_mask, viol2 = jax.lax.cond(
+                converged | (it + 1 >= max_num_iterations),
+                lambda: (targets, corr_mask, jnp.bool_(False)),
+                lambda: associate(pose),
+            )
+            return pose, targets, corr_mask, it + 1, converged, viol | viol2
+
+        # The loop body runs at least once when iterations are allowed at
+        # all (converged starts False); hoisting the first iteration out of
+        # the while_loop saves one loop trip's fixed overhead and lets XLA
+        # schedule it together with the initial association and regularizer.
+        carry = (guess, targets, corr_mask, jnp.int32(0), jnp.bool_(False),
+                 viol)
+        if max_num_iterations >= 1:
+            carry = body_fn(carry)
+        pose, targets, corr_mask, iters, _, viol = jax.lax.while_loop(
+            cond_fn, body_fn, carry)
+        return (pose, iters, jnp.sum(corr_mask).astype(jnp.int32), viol)
+
+    no_viol = jnp.bool_(False)
     if exact_gn_reassociation:
-        def associate(pose):
-            return data_association(
+        def associate_native(pose):
+            t, c = data_association(
                 m, source, source_mask, pose, max_correspondence_distance,
-                voxel_size, max_probes, num_candidate_voxels)
+                voxel_size, max_probes, 27)
+            return t, c, no_viol
+
+        if gn_backend == "pallas":
+            # Certified fused kernel: the full 27-voxel neighborhood is
+            # cached at the guess and the kernel re-selects per iteration,
+            # evaluating the window-margin exactness certificate at every
+            # trajectory-feeding selection (see pallas_gn.gn_solve) —
+            # while it holds, the cached re-selection IS the reference's
+            # re-gather (frozen map, sufficient window margin).  Violating
+            # frames re-solve through the XLA full-27 loop.
+            from . import pallas_gn
+
+            world_guess = transform(guess, source)
+            cand = hashmap.gather_candidates(
+                m, world_guess, voxel_size, max_probes, 27)
+            k_pose, k_it, k_nc, k_err, crossed = pallas_gn.gn_solve(
+                cand, source, source_mask, guess,
+                max_correspondence_distance,
+                voxel_size=voxel_size,
+                max_num_iterations=max_num_iterations,
+                convergence_criterion=convergence_criterion,
+                use_adaptive_regularization=(
+                    use_adaptive_odometry_regularization),
+                fixed_regularization=fixed_regularization,
+                max_range=threshold_max_range, check_crossing=True)
+
+            def fallback_native():
+                pose, iters, ncorr, _ = run_gn(associate_native)
+                # Same point-space odometry-error formula as the kernel
+                # (rotations preserve norms; Frobenius inner product).
+                dt = jnp.linalg.norm(pose[:3, 3] - guess[:3, 3])
+                frob = jnp.sum(pose[:3, :3] * guess[:3, :3])
+                c = jnp.clip((frob - 1.0) * 0.5, -1.0, 1.0)
+                err = dt + 2.0 * threshold_max_range * jnp.sqrt(
+                    jnp.maximum((1.0 - c) * 0.5, 0.0))
+                return pose, iters, ncorr, err.astype(jnp.float32)
+
+            pose, iters, ncorr, err = jax.lax.cond(
+                crossed,
+                fallback_native,
+                lambda: (k_pose, k_it, k_nc, k_err),
+            )
+            return pose, RegistrationDebug(
+                iterations=iters, num_correspondences=ncorr,
+                odometry_error_pt=err, exact_fallback=crossed)
+
+        if 0 < exact_prune_candidates < 27:
+            tau2 = (max_correspondence_distance
+                    * max_correspondence_distance)
+
+            def associate_pruned(pose):
+                world = transform(pose, source)
+                cand, skip_lb_d2 = hashmap.gather_candidates(
+                    m, world, voxel_size, max_probes,
+                    exact_prune_candidates, return_skip_bound=True)
+                t, dist = hashmap.nn_from_candidates(
+                    cand, world, source_mask, voxel_size)
+                # Certificate: the pruned search is bit-identical to the
+                # full 27-voxel search unless some skipped voxel's box
+                # lower bound reaches min(d*, tau)^2 — a candidate past tau
+                # is rejected by the threshold gate either way (and the
+                # rejected row's target is masked out of every downstream
+                # sum), so only sub-tau winners matter.  The selection key
+                # masks the 10 low mantissa bits of d^2 and tie-breaks by
+                # (offset id, lane), so a skipped point in the SAME mask
+                # bucket as d*^2 could still have won the tie: inflate the
+                # threshold to the top of the NEXT bucket (the +0x400 also
+                # absorbs the sqrt(d2)^2 round-trip, <= 1 ulp).
+                d_cap = jnp.minimum(dist, max_correspondence_distance)
+                d2 = jnp.minimum(d_cap * d_cap, tau2)
+                thresh = jax.lax.bitcast_convert_type(
+                    (jax.lax.bitcast_convert_type(d2, jnp.uint32)
+                     | jnp.uint32(0x3FF)) + jnp.uint32(0x400), jnp.float32)
+                viol = jnp.any(source_mask & (skip_lb_d2 <= thresh))
+                return t, source_mask & (dist < max_correspondence_distance
+                                         ), viol
+
+            fast = run_gn(associate_pruned)
+            # Certificate violated anywhere this frame (rare: bootstrap
+            # frames with a near-empty map, or a query in a map hole):
+            # recompute the WHOLE solve through the full-27 loop.  Both
+            # branches only read the map table, so the cond copies nothing
+            # large.
+            pose, iters, ncorr, _ = jax.lax.cond(
+                fast[3],
+                lambda: run_gn(associate_native)[:3] + (no_viol,),
+                lambda: fast[:3] + (no_viol,),
+            )
+            debug = RegistrationDebug(iterations=iters,
+                                      num_correspondences=ncorr,
+                                      exact_fallback=fast[3])
+            return pose, debug
+        else:
+            pose, iters, ncorr, _ = run_gn(associate_native)
     else:
         world_guess = transform(guess, source)
         cand = hashmap.gather_candidates(
@@ -238,50 +391,13 @@ def compute_robot_motion(m: hashmap.MapState, source: P3, source_mask,
             cand = hashmap.reduce_candidates(
                 cand, world_guess, gn_candidates_per_voxel, voxel_size)
 
-        def associate(pose):
-            return associate_from_candidates(
-                cand, source, source_mask, pose, max_correspondence_distance,
-                voxel_size)
+        def associate_cached(pose):
+            t, c = associate_from_candidates(
+                cand, source, source_mask, pose,
+                max_correspondence_distance, voxel_size)
+            return t, c, no_viol
 
-    targets, corr_mask = associate(guess)
+        pose, iters, ncorr, _ = run_gn(associate_cached)
 
-    if use_adaptive_odometry_regularization:
-        beta = compute_odometry_regularization(source, targets, corr_mask, guess)
-    else:
-        beta = jnp.asarray(fixed_regularization, dtype=source.x.dtype)
-
-    def cond_fn(carry):
-        _, _, _, it, converged = carry
-        return (it < max_num_iterations) & ~converged
-
-    def body_fn(carry):
-        pose, targets, corr_mask, it, _ = carry
-        dx = compute_perturbation(source, targets, corr_mask, pose, beta)
-        delta = motion_model.motion_model(dx)
-        pose = se3.compose44(pose, delta)
-        converged = jnp.linalg.norm(dx) < convergence_criterion
-        # Re-associate only when the loop will continue (the reference
-        # recomputes correspondences at the end of every non-final
-        # iteration, Registration.cpp:185-186).
-        targets, corr_mask = jax.lax.cond(
-            converged | (it + 1 >= max_num_iterations),
-            lambda: (targets, corr_mask),
-            lambda: associate(pose),
-        )
-        return pose, targets, corr_mask, it + 1, converged
-
-    # The loop body runs at least once when iterations are allowed at all
-    # (converged starts False); hoisting the first iteration out of the
-    # while_loop saves one loop trip's fixed overhead and lets XLA schedule
-    # it together with the initial association and regularizer.
-    carry = (guess, targets, corr_mask, jnp.int32(0), jnp.bool_(False))
-    if max_num_iterations >= 1:
-        carry = body_fn(carry)
-    pose, targets, corr_mask, iters, _ = jax.lax.while_loop(
-        cond_fn, body_fn, carry)
-
-    debug = RegistrationDebug(
-        iterations=iters,
-        num_correspondences=jnp.sum(corr_mask).astype(jnp.int32),
-    )
+    debug = RegistrationDebug(iterations=iters, num_correspondences=ncorr)
     return pose, debug

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from kinematic_icp_tpu.ops import hashmap, registration, se3
 from kinematic_icp_tpu.ops.points import P3
@@ -166,6 +167,87 @@ class TestComputeRobotMotion:
         assert np.linalg.norm(err[:3, 3]) < 5e-3
         # converged fast
         assert int(dbg.iterations) <= 3
+
+
+class TestPrunedExact:
+    """exact_prune_candidates must be BIT-IDENTICAL to the full-27 loop:
+    the certificate (hashmap.gather_candidates return_skip_bound) routes
+    any frame a skipped voxel could have influenced to the fallback."""
+
+    def _motion(self, m, src, mask, guess, tau, **over):
+        kw = dict(voxel_size=1.0, max_probes=4, max_num_iterations=10,
+                  convergence_criterion=0.001,
+                  use_adaptive_odometry_regularization=True,
+                  fixed_regularization=0.0, num_candidate_voxels=27,
+                  exact_gn_reassociation=True, gn_backend="xla")
+        kw.update(over)
+        return registration.compute_robot_motion(
+            m, src, mask, jnp.eye(4), guess, jnp.float32(tau), **kw)
+
+    @pytest.mark.parametrize("v", [8, 14, 22])
+    def test_bitwise_equals_native(self, v):
+        rng = np.random.default_rng(7)
+        world = make_world_points(2000)
+        m = build_map(world)
+        src = (world[:512] + rng.normal(0, 0.05, (512, 3))).astype(
+            np.float32)
+        src_p = P3.from_array(jnp.asarray(src))
+        mask = jnp.asarray(rng.uniform(size=512) < 0.95)
+        guess = jnp.eye(4, dtype=jnp.float32).at[0, 3].set(0.08)
+        for tau in (0.3, 0.7, 1.5):
+            p_nat, d_nat = self._motion(m, src_p, mask, guess, tau)
+            p_prn, d_prn = self._motion(m, src_p, mask, guess, tau,
+                                        exact_prune_candidates=v)
+            np.testing.assert_array_equal(np.asarray(p_nat),
+                                          np.asarray(p_prn))
+            assert int(d_nat.iterations) == int(d_prn.iterations)
+            assert int(d_nat.num_correspondences) == int(
+                d_prn.num_correspondences)
+
+    def test_skipped_corner_voxel_forces_fallback(self):
+        # Adversarial case: the only map point near the query sits in a
+        # CORNER voxel (box lower bound 0.75 from a voxel-center query),
+        # which V=14 pruning skips (it keeps center + 6 faces + 7 edges).
+        # Without the certificate the pruned search would silently miss
+        # the only sub-tau correspondence; the certificate must fire
+        # (corner lb 0.75 <= tau^2 = 1) and the fallback recover it.
+        m = hashmap.empty(1 << 12, 20, bucket_slots=4)
+        m = hashmap.insert(
+            m, P3.from_array(jnp.asarray(
+                [[-0.01, -0.01, -0.01]], jnp.float32)),
+            jnp.ones(1, bool), 1.0, 4)
+        src_p = P3.from_array(jnp.asarray([[0.5, 0.5, 0.5]], jnp.float32))
+        mask = jnp.ones(1, bool)
+        guess = jnp.eye(4, dtype=jnp.float32)
+        p_nat, d_nat = self._motion(m, src_p, mask, guess, 1.0)
+        assert int(d_nat.num_correspondences) == 1  # native finds it
+        p_prn, d_prn = self._motion(m, src_p, mask, guess, 1.0,
+                                    exact_prune_candidates=14)
+        # The fallback recomputes the identical full-27 loop, but inside a
+        # lax.cond branch — XLA's fusion context there can contract FMAs
+        # differently, so equality on FALLBACK frames is last-ulp, not
+        # bitwise (certificate-passing frames are bitwise; see
+        # test_bitwise_equals_native).
+        np.testing.assert_allclose(np.asarray(p_nat), np.asarray(p_prn),
+                                   atol=1e-6)
+        assert bool(d_prn.exact_fallback)
+        assert int(d_prn.num_correspondences) == 1
+        assert int(d_prn.iterations) == int(d_nat.iterations)
+
+    def test_empty_map_matches_native(self):
+        # Empty map: no skipped box can matter (they are all empty too) —
+        # whether or not the geometric certificate fires, the result must
+        # equal the native loop's (the guess, unchanged).
+        m = hashmap.empty(1 << 12, 20, bucket_slots=4)
+        src_p = P3.from_array(jnp.asarray(
+            np.random.default_rng(0).uniform(-5, 5, (64, 3)).astype(
+                np.float32)))
+        mask = jnp.ones(64, bool)
+        guess = jnp.eye(4, dtype=jnp.float32).at[1, 3].set(0.2)
+        p_nat, _ = self._motion(m, src_p, mask, guess, 0.7)
+        p_prn, _ = self._motion(m, src_p, mask, guess, 0.7,
+                                exact_prune_candidates=14)
+        np.testing.assert_array_equal(np.asarray(p_nat), np.asarray(p_prn))
 
 
 class TestGnBackendDecision:

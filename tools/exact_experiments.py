@@ -55,9 +55,9 @@ def main():
 
     ref_poses = None
 
-    def run(tag, cfg, runs=2):
+    def run(tag, cfg, runs=2, unroll=2):
         nonlocal ref_poses
-        runner = make_sequence_runner(cfg)
+        runner = make_sequence_runner(cfg, unroll)
         state = pipeline.init_state(cfg)
         t0 = time.time()
         _, poses, overflow = runner(state, *dev)
@@ -83,22 +83,25 @@ def main():
         print(json.dumps(out), flush=True)
         return fps
 
-    # A. table shapes (exact mode)
-    exact = dict(neighbor_candidates=27, exact_gn_reassociation=True)
-    run("exact_G5_16384b (r3 headline shape)",
-        dataclasses.replace(cfg_base, **exact))
-    run("exact_G4_32768b",
-        dataclasses.replace(cfg_base, map_capacity=1 << 17, max_probes=4,
-                            **exact))
+    # A. table shapes (exact mode, XLA loop — the pallas-certified variant
+    #    is part E); EXP_SHAPES=1 to include the slower shapes
+    exact = dict(neighbor_candidates=27, exact_gn_reassociation=True,
+                 gn_backend="xla")
+    if os.environ.get("EXP_SHAPES"):
+        run("exact_G5_16384b (r3 headline shape)",
+            dataclasses.replace(cfg_base, **exact))
+        run("exact_G4_32768b",
+            dataclasses.replace(cfg_base, map_capacity=1 << 17, max_probes=4,
+                                **exact))
+        run("exact_G8_16384b",
+            dataclasses.replace(cfg_base, map_capacity=1 << 17, max_probes=8,
+                                **exact))
     run("exact_G4_16384b",
         dataclasses.replace(cfg_base, map_capacity=1 << 16, max_probes=4,
                             **exact))
-    run("exact_G8_16384b",
-        dataclasses.replace(cfg_base, map_capacity=1 << 17, max_probes=8,
-                            **exact))
 
     # B. iteration statistics (exact mode, G4 shape): scan that keeps debug
-    cfg_it = dataclasses.replace(cfg_base, map_capacity=1 << 17,
+    cfg_it = dataclasses.replace(cfg_base, map_capacity=1 << 16,
                                  max_probes=4, **exact)
 
     from kinematic_icp_tpu.offline import _per_frame_constants
@@ -135,9 +138,57 @@ def main():
     }), flush=True)
 
     # C. trip-overhead probe: clamp max_num_iterations
-    for mni in (2, 4):
-        run(f"exact_G4_maxiter{mni}",
-            dataclasses.replace(cfg_it, max_num_iterations=mni))
+    if os.environ.get("EXP_MAXITER"):
+        for mni in (2, 4):
+            run(f"exact_G4_maxiter{mni}",
+                dataclasses.replace(cfg_it, max_num_iterations=mni))
+
+    # E. crossing-certified Pallas exact path (gn_backend=auto -> pallas
+    #    on TPU) vs the XLA loop, with fallback rates.
+    variants = [("exact_G4_pallas_xcert",
+                 dataclasses.replace(cfg_it, gn_backend="auto"))]
+    if os.environ.get("EXP_PRUNED"):
+        variants += [
+            (f"exact_G4_pruned{v}",
+             dataclasses.replace(cfg_it, gn_backend="xla",
+                                 exact_prune_candidates=v))
+            for v in (14, 18, 22)]
+
+    # D. pruned-exact (certificate + fallback) at the G4 shape, and the
+    #    scan-unroll probe.  Fallback rate measured with a debug scan.
+    for tag, cfg_v in variants:
+        run(tag, cfg_v)
+
+        def fb_run(state, pts, ts, mask, has_ts, extrinsic, rels,
+                   cfg_v=cfg_v):
+            active, twists = _per_frame_constants(rels, extrinsic, cfg_v)
+            if twists is None:
+                twists = jnp.zeros((rels.shape[0], 0))
+
+            def body(carry, xs):
+                p, t, mk, ht, rel, act, tw = xs
+                with jax.default_matmul_precision("highest"):
+                    st, out = pipeline.register_frame(
+                        carry, p, t, mk, ht, extrinsic, rel, cfg_v,
+                        active=act, rel_twist_in_lidar=tw)
+                return st, out.debug.exact_fallback
+
+            return jax.lax.scan(body, state,
+                                (pts, ts, mask, has_ts, rels, active,
+                                 twists))
+
+        _, fb = jax.jit(fb_run, donate_argnums=(0,))(
+            pipeline.init_state(cfg_v), *dev)
+        fb = np.asarray(fb)
+        print(json.dumps({"tag": f"fallback_rate_{tag}",
+                          "frames_fallback": int(fb.sum()),
+                          "frames": int(fb.shape[0]),
+                          "first_20": fb[:20].astype(int).tolist()}),
+              flush=True)
+
+    if os.environ.get("EXP_UNROLL"):
+        run("exact_G4_unroll4", cfg_it, unroll=4)
+        run("exact_G4_unroll1", cfg_it, unroll=1)
 
 
 if __name__ == "__main__":

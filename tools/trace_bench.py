@@ -23,8 +23,16 @@ TRACE_DIR = "/tmp/kicp_trace"
 
 def main():
     # TRACE_LARGE=1 traces the realistic 64K-point regime instead of the
-    # default 8K bench config.
-    if os.environ.get("TRACE_LARGE"):
+    # default 8K bench config; TRACE_EXACT=1 traces the reference-exact
+    # reassociation mode at its own best table shape (G=4 x 16384 buckets).
+    if os.environ.get("TRACE_EXACT"):
+        cfg = Config(max_points=65536, max_downsampled=8192,
+                     max_source=1024, map_capacity=1 << 16, max_probes=4,
+                     voxel_size=1.0, max_range=60.0, deskew=True,
+                     neighbor_candidates=27, exact_gn_reassociation=True)
+        seq = synthetic.make_sequence(50, lidar=synthetic.realistic_lidar(),
+                                      clear_path_margin=3.0)
+    elif os.environ.get("TRACE_LARGE"):
         cfg = Config(max_points=65536, max_downsampled=8192,
                      max_source=1024, map_capacity=5 << 14, max_probes=5, voxel_size=1.0,
                      max_range=60.0, deskew=True)
