@@ -363,10 +363,16 @@ def gn_solve(cand: CandidateSet, source, source_mask, guess, tau, *,
         check_crossing=check_crossing)
 
     compiler_params = None
-    vmem_cap = int(os.environ.get("KICP_PALLAS_VMEM_MB", "0"))
-    if vmem_cap and not interpret:
-        compiler_params = pltpu.CompilerParams(
-            vmem_limit_bytes=vmem_cap << 20)
+    if not interpret:
+        # Raise the compiler's scoped-VMEM soft limit to the calibrated
+        # estimate for this shape (the 16 MB default rejects the
+        # exact-mode 540-row kernel, which runs fine at ~20 MB on v5e).
+        # KICP_PALLAS_VMEM_MB overrides for experiments.
+        from .registration import pallas_gn_vmem_bytes
+        need = pallas_gn_vmem_bytes(v * k, n) + (3 << 20)
+        env_mb = int(os.environ.get("KICP_PALLAS_VMEM_MB", "0"))
+        limit = (env_mb << 20) if env_mb else max(16 << 20, need)
+        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=limit)
     pose16, stats, err = pl.pallas_call(
         kern,
         out_shape=(jax.ShapeDtypeStruct((1, 16), jnp.float32),

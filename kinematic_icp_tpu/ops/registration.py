@@ -48,17 +48,35 @@ class RegistrationDebug(NamedTuple):
     exact_fallback: jnp.ndarray | None = None
 
 
+#: calibrated Mosaic stack model for the fused GN kernel: ~9 (rows, N)
+#: f32/u32 planes total (4 input planes + d2/key/select temporaries) —
+#: the compiler reported 19.14 MB for rows=540, N=1024 (8.7 planes).
+_PALLAS_GN_PLANES = 9
+#: scoped-VMEM ceiling we are willing to request (v5e validated at 24 MB
+#: for the exact-mode shape; physical VMEM is far larger — the 16 MB
+#: default is a compiler soft limit that pallas_gn raises per-kernel)
+_PALLAS_GN_VMEM_CAP = 28 * 2**20
+
+
+def pallas_gn_vmem_bytes(candidate_rows: int, num_queries: int) -> int:
+    """Estimated scoped-VMEM need of the fused GN kernel (see model above)."""
+    return _PALLAS_GN_PLANES * candidate_rows * num_queries * 4
+
+
 def pallas_gn_fits(candidate_rows: int, num_queries: int) -> bool:
     """Static check: does the fused GN kernel's VMEM footprint fit?
 
-    The kernel (ops/pallas_gn.py) keeps 4 (rows, N) f32/u32 planes resident
-    plus ~2 planes of Mosaic stack temporaries (d2 / packed key), against
-    the 16 MB scoped-VMEM limit; 13 MB leaves headroom for the source
-    planes and params.  E.g. rows=200, N=1024 (the 64K realistic regime)
-    needs ~4.9 MB and fits; N=4096 needs ~19.7 MB and must take the XLA
-    while_loop path (it OOMs scoped VMEM at compile time otherwise).
+    The kernel (ops/pallas_gn.py) keeps 4 (rows, N) f32/u32 planes
+    resident plus ~5 planes of Mosaic stack temporaries (d2 / packed key /
+    selection masks); gn_solve raises the compiler's scoped-VMEM limit to
+    the estimate (capped at 28 MB — validated on v5e, whose 16 MB default
+    is a soft limit).  E.g. rows=200, N=1024 (the 64K realistic regime)
+    needs ~7.4 MB; rows=540 (exact mode, full 27-voxel cache), N=1024
+    needs ~19.9 MB and fits under the raised limit; N=4096 shapes must
+    take the XLA while_loop path.
     """
-    return 6 * candidate_rows * num_queries * 4 <= 13 * 2**20
+    return pallas_gn_vmem_bytes(candidate_rows, num_queries) \
+        <= _PALLAS_GN_VMEM_CAP
 
 
 def data_association(m: hashmap.MapState, source: P3, source_mask, pose,

@@ -7,13 +7,16 @@ partitioned over the ``data`` axis.  Per GN iteration:
 
   * every shard probes its local table for all query points (misses are
     cheap — non-owned voxels are simply absent),
-  * candidate distances are ``all_gather``-combined over the map axis and
-    the winning shard keeps the pair,
+  * the winning shard per query is ONE (N,) int32 ``pmin`` over packed
+    (distance | shard) keys (see ``_combine_local_nn``) and keeps the pair,
   * the 2-DoF normal equations, residual SSE and correspondence counts
-    reduce with a single ``psum`` (6 + 2 floats — the collective payload per
-    iteration is tiny, exactly why the kinematic 2-DoF formulation shards so
-    well),
+    reduce with a single ``psum`` (6 + 2 floats),
   * map insert/evict stay shard-local (ownership-filtered).
+
+Per-iteration collective payload over the map axis is therefore 4 B/query
+(the pmin) + 32 B (the psums) — the kinematic 2-DoF formulation shards
+unusually well because the normal equations are a fixed 6-float vector
+regardless of point count.
 
 All collectives ride the ``map`` axis only; the ``data`` axis never
 communicates (sequences are independent), so on a pod slice the map axis
@@ -45,14 +48,26 @@ def _owner_of(bx, by, bz, num_shards: int):
 def _combine_local_nn(tgt, dist, source_mask, tau, axis_name: str):
     """Combine per-shard NN results: each shard keeps its winning pairs.
 
-    The psum'd statistics over winner-only local pairs equal the
-    single-device association exactly (ties -> lowest shard index).
+    Collective payload: ONE (N,) int32 ``pmin`` — the shard index rides
+    the 5 low mantissa bits of the bitcast local distance (IEEE
+    non-negative floats order as integers; the sign bit is clear even for
+    the +inf no-candidate sentinel, so a signed min works).  The previous
+    formulation all-gathered the full (m, N) f32 distance plane and
+    argmin'd it on every shard — m x the bytes on the wire and an O(m*N)
+    reduction per shard, for the same winner.  Cross-shard ties (equal to
+    <= 2^-18 relative after masking) break to the lowest shard index; the
+    tau gate uses the winner's own full-precision distance, so the
+    correspondence set matches the single-device association.  The psum'd
+    statistics over winner-only local pairs then equal the single-device
+    reduction.
     """
-    all_dist = jax.lax.all_gather(dist, axis_name)       # (m, N)
-    winner = jnp.argmin(all_dist, axis=0)
-    best = jnp.min(all_dist, axis=0)
-    mine = winner == jax.lax.axis_index(axis_name)
-    corr_mask = source_mask & (best < tau) & mine
+    lo = jnp.uint32(31)
+    key = jax.lax.bitcast_convert_type(dist, jnp.uint32) & ~lo
+    key = (key | jax.lax.axis_index(axis_name).astype(jnp.uint32)
+           ).astype(jnp.int32)
+    best = jax.lax.pmin(key, axis_name)                  # (N,) int32
+    mine = key == best
+    corr_mask = source_mask & (dist < tau) & mine
     return tgt, corr_mask
 
 
