@@ -453,6 +453,22 @@ def main():
                 server.register_frame(p, t, seq["rel_odometry"][i],
                                       stamp=0.1 * (i + 1))
                 lat.append(time.perf_counter() - t0)
+            # Pipelined streaming mode (register_frame(blocking=False)):
+            # frames are enqueued without per-frame device->host syncs;
+            # one drain() at the end settles poses + overflow.  On a
+            # tunnel-attached chip this removes the RTT floor from the
+            # steady-state rate (latency of any SINGLE pose stays RTT-
+            # bound — that is physics, not dispatch).
+            server2 = LidarOdometryServer(cfg, extrinsic=seq["extrinsic"])
+            p, t = seq["frames"][0]
+            server2.register_frame(p, t, seq["rel_odometry"][0], stamp=0.1)
+            t0 = time.perf_counter()
+            for i in range(1, len(seq["frames"])):
+                p, t = seq["frames"][i]
+                server2.register_frame(p, t, seq["rel_odometry"][i],
+                                       stamp=0.1 * (i + 1), blocking=False)
+            server2.drain()
+            stream_dt = time.perf_counter() - t0
             ms = np.asarray(lat[warm:]) * 1e3
             return {
                 "frames_measured": len(ms),
@@ -461,6 +477,8 @@ def main():
                 "p99_ms": round(float(np.percentile(ms, 99)), 2),
                 "mean_ms": round(float(ms.mean()), 2),
                 "online_fps": round(1e3 / float(ms.mean()), 1),
+                "streaming_fps": round(
+                    (len(seq["frames"]) - 1) / stream_dt, 1),
             }
 
         n_lat = min(120, LARGE_FRAMES)

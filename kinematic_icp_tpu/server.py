@@ -67,6 +67,9 @@ class LidarOdometryServer:
                                "source_dropped": 0,
                                "insert_failed": 0}
         self._overflow_warned = False
+        #: device-side overflow results of not-yet-drained non-blocking
+        #: frames (see register_frame(blocking=False) / drain())
+        self._pending_overflow: list = []
         # message-interface state (lazy init like LidarOdometryServer.cpp:160)
         self._initialized = initial_pose is not None or extrinsic is not None
         self._stamps_handler = None
@@ -105,7 +108,7 @@ class LidarOdometryServer:
         return self._steps[bucket]
 
     def register_frame(self, points, timestamps=None, relative_odometry=None,
-                       stamp: float | None = None):
+                       stamp: float | None = None, blocking: bool = True):
         """Process one scan.
 
         Args:
@@ -115,12 +118,29 @@ class LidarOdometryServer:
           relative_odometry: (4, 4) wheel odometry delta in the base frame
             (identity if unavailable).
           stamp: scan end timestamp in seconds (for twist & TUM output).
+          blocking: True (default) returns only after the device finished
+            the frame and mirrors pose/overflow to host — the reference's
+            synchronous per-message shape (online_node.cpp:40-67).  False
+            is the pipelined streaming mode: the frame is ENQUEUED (JAX
+            async dispatch — host padding + transfer + dispatch only,
+            no device->host sync), the returned ``pose`` is a device
+            array whose materialization blocks until ready, ``twist`` is
+            None, and overflow accounting is deferred to ``drain()``
+            (totals stay exact; the capacity warning fires at drain time
+            instead of mid-stream).  On a remote/tunnel-attached device
+            the sync round trip dominates per-frame latency, so the
+            non-blocking mode recovers device-rate throughput while
+            frame k+1's host work overlaps frame k's compute; call
+            ``drain()`` (or read ``pose`` / ``overflow_stats`` via
+            ``drain``) at any sync point.
 
         Returns dict with pose, twist (6,) or None, registered: bool.
         """
         rel = (np.eye(4) if relative_odometry is None
                else np.asarray(relative_odometry, np.float64))
-        last_pose = self.pose
+        # The pre-step pose is only needed for the twist (blocking mode);
+        # reading it in streaming mode would force a device sync per frame.
+        last_pose = self.pose if blocking else None
 
         # Stationary gate (LidarOdometryServer.cpp:202).
         gate = float(np.linalg.norm(_ref.se3_log(rel)))
@@ -151,21 +171,21 @@ class LidarOdometryServer:
                 jnp.asarray(rel.astype(np.float32)))
             self.frames_registered += 1
             registered = True
-            ovf = np.asarray(out.overflow)
-            if ovf.any():
-                self.overflow_stats["downsample_dropped"] += int(ovf[0])
-                self.overflow_stats["source_dropped"] += int(ovf[1])
-                self.overflow_stats["insert_failed"] += int(ovf[2])
-                self._warn_overflow(
-                    f"capacity overflow this frame (downsample/source/"
-                    f"insert voxels dropped: {ovf.tolist()}); raise "
-                    f"Config.max_downsampled/max_source/map_capacity")
+            if blocking:
+                self._account_overflow(np.asarray(out.overflow))
+            else:
+                # Deferred: keep the (3,) device array; drain() stacks and
+                # syncs them in ONE transfer.  Totals are exact either way.
+                self._pending_overflow.append(out.overflow)
         else:
             self.frames_skipped += 1
 
-        new_pose = self.pose
+        # Streaming mode keeps the pose on device; .copy() gives it a
+        # buffer independent of the donated state (the next step would
+        # otherwise delete it) without any host sync.
+        new_pose = self.pose if blocking else self.state.pose.copy()
         twist = None
-        if stamp is not None and self.last_stamp is not None:
+        if blocking and stamp is not None and self.last_stamp is not None:
             dt = stamp - self.last_stamp
             if dt > 0:
                 twist = _ref.se3_log(np.linalg.inv(last_pose) @ new_pose) / dt
@@ -173,6 +193,33 @@ class LidarOdometryServer:
             self.last_stamp = stamp
             self.poses_with_stamps.append((stamp, new_pose))
         return {"pose": new_pose, "twist": twist, "registered": registered}
+
+    def drain(self):
+        """Synchronize all in-flight non-blocking frames.
+
+        Blocks until every enqueued frame finished on device, folds the
+        deferred overflow counters into ``overflow_stats`` (one stacked
+        transfer), and materializes any device poses recorded in
+        ``poses_with_stamps``.  Idempotent; a no-op after blocking calls.
+        """
+        if self._pending_overflow:
+            ovf = np.asarray(jnp.stack(self._pending_overflow))
+            self._pending_overflow.clear()
+            self._account_overflow(ovf.sum(axis=0))
+        self.poses_with_stamps = [
+            (s, p if isinstance(p, np.ndarray)
+             else np.asarray(p, np.float64))
+            for s, p in self.poses_with_stamps]
+
+    def _account_overflow(self, ovf):
+        if ovf.any():
+            self.overflow_stats["downsample_dropped"] += int(ovf[0])
+            self.overflow_stats["source_dropped"] += int(ovf[1])
+            self.overflow_stats["insert_failed"] += int(ovf[2])
+            self._warn_overflow(
+                f"capacity overflow (downsample/source/insert voxels "
+                f"dropped: {np.asarray(ovf).tolist()}); raise "
+                f"Config.max_downsampled/max_source/map_capacity")
 
     # ------------------------------------------------------------------
     # Message-level interface (the full L2 behavior of the reference
@@ -256,4 +303,5 @@ class LidarOdometryServer:
     # ------------------------------------------------------------------
     def write_tum(self, path):
         from .utils.io.tum import write_tum
+        self.drain()
         write_tum(path, self.poses_with_stamps)

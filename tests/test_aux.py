@@ -79,6 +79,54 @@ class TestOnlineNode:
         assert odom.pose_covariance[0] == 0.1
 
 
+class TestStreamingServer:
+    """register_frame(blocking=False) must be a pure scheduling change."""
+
+    def test_nonblocking_matches_blocking(self):
+        from kinematic_icp_tpu.server import LidarOdometryServer
+        cfg = Config(max_points=4096, max_downsampled=4096, max_source=1024,
+                     map_capacity=1 << 13, max_range=60.0, deskew=True)
+        seq = synthetic.make_sequence(NUM_FRAMES)
+        sb = LidarOdometryServer(cfg, extrinsic=seq["extrinsic"])
+        sn = LidarOdometryServer(cfg, extrinsic=seq["extrinsic"])
+        for i, (p, t) in enumerate(seq["frames"]):
+            rb = sb.register_frame(p, t, seq["rel_odometry"][i],
+                                   stamp=0.1 * (i + 1))
+            rn = sn.register_frame(p, t, seq["rel_odometry"][i],
+                                   stamp=0.1 * (i + 1), blocking=False)
+            assert rn["registered"] == rb["registered"]
+            assert rn["twist"] is None  # deferred in streaming mode
+        sn.drain()
+        # bitwise-equal trajectories: same jitted step, same inputs
+        np.testing.assert_array_equal(
+            np.asarray([p for _, p in sb.poses_with_stamps]),
+            np.asarray([p for _, p in sn.poses_with_stamps]))
+        assert all(isinstance(p, np.ndarray)
+                   for _, p in sn.poses_with_stamps)
+        assert sn.overflow_stats == sb.overflow_stats
+        assert sn.frames_registered == sb.frames_registered
+        sn.drain()  # idempotent
+        assert sn.overflow_stats == sb.overflow_stats
+
+    def test_drain_accounts_overflow(self):
+        from kinematic_icp_tpu.server import LidarOdometryServer
+        # Tiny capacities force downsample/source drops every frame.
+        cfg = Config(max_points=4096, max_downsampled=128, max_source=32,
+                     map_capacity=1 << 10, max_range=60.0, deskew=False)
+        seq = synthetic.make_sequence(4)
+        sb = LidarOdometryServer(cfg, extrinsic=seq["extrinsic"])
+        sn = LidarOdometryServer(cfg, extrinsic=seq["extrinsic"])
+        with pytest.warns(RuntimeWarning):
+            for i, (p, t) in enumerate(seq["frames"]):
+                sb.register_frame(p, t, seq["rel_odometry"][i])
+        for i, (p, t) in enumerate(seq["frames"]):
+            sn.register_frame(p, t, seq["rel_odometry"][i], blocking=False)
+        assert sn.overflow_stats["source_dropped"] == 0  # not yet drained
+        with pytest.warns(RuntimeWarning):
+            sn.drain()
+        assert sn.overflow_stats == sb.overflow_stats
+
+
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path):
         cfg = Config(max_points=1024, max_downsampled=1024, max_source=512,
