@@ -38,6 +38,20 @@ def run_regime(tag, cfg, seq):
         server.register_frame(p, t, rels[i], stamp=0.1 * (i + 1))
         lat.append(time.perf_counter() - t0)
     lat_ms = np.asarray(lat[WARMUP:]) * 1e3
+
+    # Pipelined streaming mode: enqueue-only (blocking=False), one drain()
+    # at the end; bitwise-equal trajectory, no per-frame sync.
+    server2 = LidarOdometryServer(cfg, extrinsic=seq["extrinsic"])
+    p, t = frames[0]
+    server2.register_frame(p, t, rels[0], stamp=0.1)
+    t0 = time.perf_counter()
+    for i in range(1, len(frames)):
+        p, t = frames[i]
+        server2.register_frame(p, t, rels[i], stamp=0.1 * (i + 1),
+                               blocking=False)
+    server2.drain()
+    stream_dt = time.perf_counter() - t0
+
     out = {
         "tag": tag,
         "frames_measured": len(lat_ms),
@@ -48,6 +62,7 @@ def run_regime(tag, cfg, seq):
         "p99_ms": round(float(np.percentile(lat_ms, 99)), 2),
         "mean_ms": round(float(lat_ms.mean()), 2),
         "online_fps": round(1e3 / float(lat_ms.mean()), 1),
+        "streaming_fps": round((len(frames) - 1) / stream_dt, 1),
         "overflow_stats": server.overflow_stats,
     }
     print(json.dumps(out), flush=True)
