@@ -93,9 +93,10 @@ def time_tpu_sequence(cfg, seq, runs=BENCH_RUNS):
 
     state = pipeline.init_state(cfg)
     t0 = time.time()
-    _, poses, overflow = runner(state, *dev)
+    _, poses, overflow, fallbacks = runner(state, *dev)
     poses = np.asarray(poses, np.float64)
     overflow = np.asarray(overflow)
+    fallbacks = int(fallbacks)
     compile_and_first = time.time() - t0
 
     times = []
@@ -103,7 +104,7 @@ def time_tpu_sequence(cfg, seq, runs=BENCH_RUNS):
         st = pipeline.init_state(cfg)
         jax.tree.map(lambda x: x.block_until_ready(), st)
         t0 = time.time()
-        _, p, _ = runner(st, *dev)
+        _, p, _, _ = runner(st, *dev)
         np.asarray(p)  # relay-safe completion barrier
         times.append(time.time() - t0)
     n = len(seq["frames"])
@@ -113,6 +114,10 @@ def time_tpu_sequence(cfg, seq, runs=BENCH_RUNS):
         # [downsample, source, insert] drops over the whole sequence — the
         # reference drops nothing, so these must be 0 for an honest run
         "overflow_totals": [int(v) for v in overflow],
+        # frames where the certified Pallas exact path's window-margin
+        # certificate was violated and the full-27 XLA loop recomputed
+        # the frame (0 outside exact mode)
+        "exact_fallback_frames": fallbacks,
     }
 
 
@@ -288,6 +293,11 @@ def main():
             "ate_vs_reference_m": round(float(ate_rmse(
                 list(native_poses), list(poses_exact), align=False)), 4),
             "overflow_totals": extras_exact["overflow_totals"],
+            # measured certificate-hold rate of the fused Pallas exact
+            # path: frames (of LARGE_FRAMES) that lax.cond'ed into the
+            # full-27 XLA fallback (those frames are equal to the last
+            # ulp, not bit-for-bit — ops/registration.py docstring)
+            "exact_fallback_frames": extras_exact["exact_fallback_frames"],
             "config": ("neighbor_candidates=27 exact_gn_reassociation "
                        "map_capacity=65536 max_probes=4 (own best table "
                        "shape; trajectory bitwise-equal across shapes)"),
@@ -439,61 +449,126 @@ def main():
     if not FAST:
         # ---- online per-message latency (the reference's primary
         # deployment shape: one RegisterFrame per message on the host
-        # thread, online_node.cpp:40-67).  Includes host padding,
-        # host->device transfer, dispatch, and the device->host pose +
-        # overflow sync — i.e. the real streaming path, NOT the
-        # whole-sequence lax.scan the headline measures.
-        from kinematic_icp_tpu.server import LidarOdometryServer
+        # thread, online_node.cpp:40-67).  Sync mode = one packed upload
+        # + one 76-byte readback per frame; streaming mode stages
+        # stream_chunk frames per upload and dispatches asynchronously.
+        # The measured link parameters are reported alongside so the
+        # numbers are interpretable: on a tunnel-attached chip every
+        # transfer pays a fixed per-transfer floor and transfers
+        # serialize, so fps is bounded by
+        #   chunk / (floor + chunk*bytes_per_frame/bandwidth)
+        # regardless of device speed.
+        from kinematic_icp_tpu.server import LidarOdometryServer, next_bucket
+        from kinematic_icp_tpu.utils import packing
 
-        def online_latency(cfg, seq, warm=20):
+        def probe_link():
+            small = np.zeros(64, np.uint16)
+            big = np.zeros(1 << 20, np.uint16)  # 2 MB
+            for a in (small, big):
+                jax.device_put(a).block_until_ready()
+
+            def best(a, n=6):
+                ts = []
+                for _ in range(n):
+                    t0 = time.perf_counter()
+                    jax.device_put(a).block_until_ready()
+                    ts.append(time.perf_counter() - t0)
+                return min(ts)
+
+            t_small, t_big = best(small), best(big)
+            return {
+                "h2d_per_transfer_floor_ms": round(t_small * 1e3, 2),
+                "h2d_marginal_bandwidth_MBps": round(
+                    (big.nbytes - small.nbytes) / 1e6
+                    / max(t_big - t_small, 1e-6), 1),
+            }
+
+        def online_latency(cfg, seq, chaos_floor_m, warm=20, chunk=8):
+            frames = seq["frames"]
+            bucket = next_bucket(max(len(p) for p, _ in frames),
+                                 cfg.max_points)
             server = LidarOdometryServer(cfg, extrinsic=seq["extrinsic"])
             lat = []
-            for i, (p, t) in enumerate(seq["frames"]):
+            for i, (p, t) in enumerate(frames):
                 t0 = time.perf_counter()
                 server.register_frame(p, t, seq["rel_odometry"][i],
                                       stamp=0.1 * (i + 1))
                 lat.append(time.perf_counter() - t0)
-            # Pipelined streaming mode (register_frame(blocking=False)):
-            # frames are enqueued without per-frame device->host syncs;
-            # one drain() at the end settles poses + overflow.  On a
-            # tunnel-attached chip this removes the RTT floor from the
-            # steady-state rate (latency of any SINGLE pose stays RTT-
-            # bound — that is physics, not dispatch).
-            server2 = LidarOdometryServer(cfg, extrinsic=seq["extrinsic"])
-            p, t = seq["frames"][0]
-            server2.register_frame(p, t, seq["rel_odometry"][0], stamp=0.1)
-            t0 = time.perf_counter()
-            for i in range(1, len(seq["frames"])):
-                p, t = seq["frames"][i]
-                server2.register_frame(p, t, seq["rel_odometry"][i],
-                                       stamp=0.1 * (i + 1), blocking=False)
-            server2.drain()
-            stream_dt = time.perf_counter() - t0
+            sync_poses = [p for _, p in server.poses_with_stamps]
             ms = np.asarray(lat[warm:]) * 1e3
-            return {
+            out = {
                 "frames_measured": len(ms),
                 "p50_ms": round(float(np.percentile(ms, 50)), 2),
                 "p90_ms": round(float(np.percentile(ms, 90)), 2),
                 "p99_ms": round(float(np.percentile(ms, 99)), 2),
                 "mean_ms": round(float(ms.mean()), 2),
                 "online_fps": round(1e3 / float(ms.mean()), 1),
-                "streaming_fps": round(
-                    (len(seq["frames"]) - 1) / stream_dt, 1),
+                "stream_chunk": chunk,
             }
+            # Streaming mode per upload codec: "f32" ships raw float bits
+            # (trajectory bitwise-equal to sync mode); "u16" quantizes
+            # positions to the frame bounding box (~1 mm) for half the
+            # wire bytes — its ATE delta vs the sync trajectory is gated
+            # against the reference's own chaos floor below.
+            for codec in ("f32", "u16"):
+                s2 = LidarOdometryServer(cfg, extrinsic=seq["extrinsic"],
+                                         upload=codec, stream_chunk=chunk)
+                p, t = frames[0]
+                s2.register_frame(p, t, seq["rel_odometry"][0], stamp=0.1)
+                t0 = time.perf_counter()
+                for i in range(1, len(frames)):
+                    p, t = frames[i]
+                    s2.register_frame(p, t, seq["rel_odometry"][i],
+                                      stamp=0.1 * (i + 1), blocking=False)
+                s2.drain()
+                dt = time.perf_counter() - t0
+                fps_key = ("streaming_fps" if codec == "f32"
+                           else "streaming_fps_quantized")
+                out[fps_key] = round((len(frames) - 1) / dt, 1)
+                out[f"upload_bytes_per_frame_{codec}"] = \
+                    packing.packed_bytes(bucket, codec)
+                if codec == "u16":
+                    q_ate = float(ate_rmse(
+                        sync_poses, [p for _, p in s2.poses_with_stamps],
+                        align=False))
+                    out["quantized_ate_vs_sync_m"] = round(q_ate, 4)
+                    out["quantized_ate_floor_m"] = round(chaos_floor_m, 4)
+                    out["quantized_ate_pass"] = bool(
+                        q_ate <= max(0.05, 3.0 * chaos_floor_m))
+            out["streaming_vs_sync_speedup"] = round(
+                out["streaming_fps"] / out["online_fps"], 2)
+            return out
 
         n_lat = min(120, LARGE_FRAMES)
         details["online_latency"] = {
+            "link": probe_link(),
             "large_64k": online_latency(
                 cfg_large, {k: (v[:n_lat] if isinstance(v, list) else v)
-                            for k, v in seq_large.items()}),
+                            for k, v in seq_large.items()},
+                chaos_floor, chunk=8),
             "small": online_latency(
                 cfg_small, {k: (v[:n_lat] if isinstance(v, list) else v)
-                            for k, v in seq_small.items()}),
-            "note": "per-message wall latency of server.register_frame "
-                    "(host pad + transfer + dispatch + pose sync); the "
-                    "per-dispatch floor dominates — see "
+                            for k, v in seq_small.items()},
+                small_floor, chunk=16),
+            "note": "sync = per-message wall latency of "
+                    "server.register_frame (ONE packed upload + ONE "
+                    "76-byte readback per frame); streaming = "
+                    "register_frame(blocking=False) with stream_chunk "
+                    "frames per upload; the link's per-transfer floor and "
+                    "marginal bandwidth (measured above) bound both — see "
                     "docs/performance.md online section",
         }
+
+    # Measurement protocol (for cross-round comparisons): the TPU timed
+    # section is best-of-BENCH_RUNS with uploads/compile excluded; the
+    # native CPU denominator is best-of-2 on a box shared with the tunnel
+    # session (measured spread up to 1.9x across rounds with zero code
+    # change) — so compare vs_baseline within one session, and absolute
+    # fps only against same-session chaos (see PARITY.md "Known margins").
+    details["measurement_protocol"] = (
+        f"tpu: best of {BENCH_RUNS} timed runs (state init + uploads "
+        f"excluded); native cpu: best of 2; per-session numbers — CPU "
+        f"denominator spread up to 1.9x across sessions is environmental")
 
     result = {
         "metric": "frames_per_sec_per_chip",
@@ -503,6 +578,44 @@ def main():
         "details": details,
     }
     print(json.dumps(result))
+
+    # Compact one-line summary printed LAST so a truncated tail capture
+    # (the driver records ~2000 chars) still contains the headline
+    # (VERDICT r4 Missing #6: BENCH_r04.json lost the headline fps).
+    acc = details["accuracy"]
+    summary = {
+        "metric": "frames_per_sec_per_chip",
+        "value": round(fps_large, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps_large / native_stats["fps"], 2),
+        "native_cpu_fps": round(native_stats["fps"], 1),
+        "ate_vs_reference_m": acc["ate_vs_reference_m"],
+        "ate_gate_pass": acc["ate_gate_pass"],
+        "overflow_totals": extras_large["overflow_totals"],
+    }
+    if "exact_mode" in details:
+        summary["exact_fps"] = details["exact_mode"]["fps"]
+        summary["exact_fallback_frames"] = \
+            details["exact_mode"]["exact_fallback_frames"]
+    if "small_regime" in details and "batched_dp" in details["small_regime"]:
+        summary["dp_batch8_fps"] = details["small_regime"]["batched_dp"][
+            "aggregate_frames_per_sec"]
+    if "online_latency" in details:
+        ol = details["online_latency"]
+        summary["online"] = {
+            "link_floor_ms": ol["link"]["h2d_per_transfer_floor_ms"],
+            "link_MBps": ol["link"]["h2d_marginal_bandwidth_MBps"],
+            "sync_fps_64k": ol["large_64k"]["online_fps"],
+            "streaming_fps_64k": ol["large_64k"]["streaming_fps"],
+            "streaming_quantized_fps_64k":
+                ol["large_64k"].get("streaming_fps_quantized"),
+            "streaming_vs_sync_64k":
+                ol["large_64k"]["streaming_vs_sync_speedup"],
+            "quantized_ate_pass":
+                ol["large_64k"].get("quantized_ate_pass"),
+        }
+    summary["full_details"] = "previous stdout line"
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -52,7 +52,14 @@ def _gated_step(state, frame, config: Config, extrinsic):
     state, out = pipeline.register_frame(
         state, pts, ts, mask, has_ts, extrinsic, rel, config, active=active,
         rel_twist_in_lidar=twist)
-    return state, (state.pose, out.overflow)
+    # Certified-exact-path bookkeeping: 1 when this frame's window-margin
+    # certificate was violated and the full-27 XLA fallback recomputed the
+    # solve (ops/registration.py); summed over the sequence so bench can
+    # report the measured certificate-hold rate.
+    fb = out.debug.exact_fallback
+    fallback = (jnp.int32(0) if fb is None
+                else (fb & active).astype(jnp.int32))
+    return state, (state.pose, out.overflow, fallback)
 
 
 @functools.lru_cache(maxsize=8)
@@ -73,14 +80,16 @@ def make_sequence_runner(config: Config, unroll: int = 2):
         # device-op time vs 590 us/frame of wall inside one dispatch);
         # unrolling halves the number of boundaries for 2x code size
         # (unroll=4 measured no further gain, round 2 and round 4).
-        final_state, (poses, overflow) = jax.lax.scan(
+        final_state, (poses, overflow, fallbacks) = jax.lax.scan(
             body, state, (pts, ts, mask, has_ts, rels, active, twists),
             unroll=unroll)
         # (3,) totals: [downsample drops, source drops, insert failures] —
         # the reference drops nothing (README.md:79), so nonzero means the
         # static capacities are undersized; surfaced so batch runs cannot
-        # lose data silently.
-        return final_state, poses, jnp.sum(overflow, axis=0)
+        # lose data silently.  The scalar 4th output counts frames where
+        # the certified exact path fell back to the full-27 loop.
+        return (final_state, poses, jnp.sum(overflow, axis=0),
+                jnp.sum(fallbacks))
 
     return jax.jit(run, donate_argnums=(0,))
 
@@ -113,11 +122,12 @@ def make_batched_sequence_runner(config: Config):
                 lambda r: _per_frame_constants(r, extrinsic, config))(rels)
         if twists is None:
             twists = jnp.zeros(rels.shape[:2] + (0,))
-        final_state, (poses, overflow) = jax.lax.scan(
+        final_state, (poses, overflow, fallbacks) = jax.lax.scan(
             body, state, (pts, ts, mask, has_ts, rels, active, twists))
         # (B, 3) per-sequence capacity-overflow totals (see
-        # make_sequence_runner)
-        return final_state, poses, jnp.sum(overflow, axis=0)
+        # make_sequence_runner) + (B,) exact-fallback frame counts
+        return (final_state, poses, jnp.sum(overflow, axis=0),
+                jnp.sum(fallbacks, axis=0))
 
     return jax.jit(run, donate_argnums=(0,))
 
@@ -173,7 +183,7 @@ def run_offline(frames, rel_odometry, config: Config | None = None,
     ext = np.eye(4, dtype=np.float32) if extrinsic is None else np.asarray(
         extrinsic, np.float32)
     runner = make_sequence_runner(config)
-    final_state, poses, overflow = runner(
+    final_state, poses, overflow, _ = runner(
         state, jnp.asarray(pts), jnp.asarray(ts), jnp.asarray(mask),
         jnp.asarray(has_ts), jnp.asarray(ext), jnp.asarray(rels))
     overflow = np.asarray(overflow)

@@ -149,7 +149,8 @@ def _sharded_robot_motion(local_map, source, source_mask, last_pose,
 def sharded_register_frame(state: OdometryState, points, timestamps, mask,
                            has_timestamps, lidar_to_base, relative_odometry,
                            config: Config, num_shards: int,
-                           axis_name: str = "map", active=None):
+                           axis_name: str = "map", active=None,
+                           rel_twist_in_lidar=None):
     """One odometry step on a map shard (call inside shard_map, per sequence).
 
     ``state.map`` holds this shard's slots (config.map_capacity // num_shards);
@@ -159,19 +160,25 @@ def sharded_register_frame(state: OdometryState, points, timestamps, mask,
     ``active`` (scalar bool, optional) is the stationary gate: when False the
     returned state is byte-identical to the input (write-masked map update,
     no full-table select).
+    ``rel_twist_in_lidar``: optional precomputed (6,)
+    ``se3_log(ext^-1 @ rel @ ext)`` — pose-independent per frame, so the
+    sequence runner hoists the conjugation + matrix log out of the scan
+    body exactly like the single-device path (offline._per_frame_constants).
     """
     dtype = state.pose.dtype
     p = P3.from_array(points).astype(dtype)
 
-    ext_inv = se3.inverse(lidar_to_base)
-    rel_odom_in_lidar = se3.compose44(
-        se3.compose44(ext_inv, relative_odometry), lidar_to_base)
-
     if config.deskew:
+        if rel_twist_in_lidar is None:
+            ext_inv = se3.inverse(lidar_to_base)
+            rel_odom_in_lidar = se3.compose44(
+                se3.compose44(ext_inv, relative_odometry), lidar_to_base)
+            rel_twist_in_lidar = se3.se3_log(rel_odom_in_lidar)
         frame, frame_mask = preprocessing.preprocess(
-            p, timestamps, mask, rel_odom_in_lidar,
+            p, timestamps, mask, None,
             min_range=config.min_range, max_range=config.max_range,
-            deskew_enabled=True, has_timestamps=has_timestamps)
+            deskew_enabled=True, has_timestamps=has_timestamps,
+            twist=rel_twist_in_lidar)
     else:
         frame = p
         frame_mask = preprocessing.range_filter_mask(
@@ -328,6 +335,85 @@ def make_sharded_step(config: Config, mesh, donate: bool = True):
         in_specs=(state_specs, P("data"), P("data"), P("data"), P("data"),
                   P(), P("data"), P("data")),
         out_specs=(state_specs, out_specs),
+        check_vma=False)
+
+    def wrapped(*args):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args)
+
+    return jax.jit(wrapped, donate_argnums=(0,) if donate else ())
+
+
+def make_sharded_sequence_runner(config: Config, mesh, donate: bool = True):
+    """Whole-sequence device-side scan over the (data, map) mesh.
+
+    The per-frame ``make_sharded_step`` pays one host dispatch round trip
+    per frame — on a tunnel-attached chip that is a ~22 ms protocol floor
+    per frame, which caps every config-4/5 measurement at the link rate
+    no matter how fast the chips are.  This runner advances ALL frames of
+    all sequences in ONE dispatch: the frame loop is a ``lax.scan``
+    INSIDE ``shard_map``, so the map-axis collectives (the (N,) int32
+    ``pmin`` NN combine + the 32 B of psums per GN iteration) ride inside
+    the compiled loop, exactly mirroring the single-device
+    ``offline.make_sequence_runner`` (including its hoisted per-frame
+    stationary gate + deskew twist).
+
+    Inputs: state from ``init_sharded_state``; pts (F, B, N, 3), ts
+    (F, B, N), mask (F, B, N), has_ts (F, B), lidar_to_base (4, 4)
+    shared, rels (F, B, 4, 4).  The per-sequence stationary gate is
+    computed on device from ``rels`` (identity padding => inactive
+    frame), like the single-device runner.
+
+    Returns (final_state, poses (F, B, 4, 4), overflow (B, 3) totals).
+    """
+    m = mesh.shape["map"]
+    cfg_local = config.replace(map_capacity=config.map_capacity // m)
+
+    def local_run(state, pts, ts, mask, has_ts, ext, rels):
+        # Per-frame constants hoisted out of the scan, vectorized over
+        # (F, local B): stationary gate + conjugated deskew twist
+        # (pose-independent; computing them in the body cost ~15 tiny
+        # fusions per frame on the single-device path).
+        fb = rels.shape[:2]
+        flat = rels.reshape((-1, 4, 4))
+        logs = jax.vmap(se3.se3_log)(flat)
+        active = (jnp.linalg.norm(logs, axis=-1) > 1e-3).reshape(fb)
+        if config.deskew:
+            ext_inv = se3.inverse(ext)
+            conj = jax.vmap(
+                lambda r: se3.compose44(se3.compose44(ext_inv, r), ext))(flat)
+            twists = jax.vmap(se3.se3_log)(conj).reshape(fb + (6,))
+        else:
+            twists = jnp.zeros(fb + (0,), dtype=rels.dtype)
+
+        def seq_step(st, p_, t_, mk_, ht_, rel_, act_, tw_):
+            st, out = sharded_register_frame(
+                st, p_, t_, mk_, ht_, ext, rel_,
+                config=cfg_local, num_shards=m, active=act_,
+                rel_twist_in_lidar=(tw_ if config.deskew else None))
+            return st, (st.pose, out.overflow)
+
+        def body(carry, xs):
+            with jax.default_matmul_precision("highest"):
+                return jax.vmap(seq_step)(carry, *xs)
+
+        final, (poses, overflow) = jax.lax.scan(
+            body, state, (pts, ts, mask, has_ts, rels, active, twists))
+        return final, poses, jnp.sum(overflow, axis=0)
+
+    dm = P("data", "map")
+    state_specs = OdometryState(
+        pose=P("data"),
+        map=hashmap.MapState(table=dm, bucket_slots=config.max_probes),
+        threshold=threshold.ThresholdState(odom_sse=P("data"),
+                                           num_samples=P("data")),
+    )
+    fdata = P(None, "data")
+    # see make_sharded_step for the check_vma=False rationale
+    fn = jax.shard_map(
+        local_run, mesh=mesh,
+        in_specs=(state_specs, fdata, fdata, fdata, fdata, P(), fdata),
+        out_specs=(state_specs, fdata, P("data")),
         check_vma=False)
 
     def wrapped(*args):

@@ -8,19 +8,32 @@ stationary-skip gate, pads variable-length scans into static shape buckets
 (one jit specialization per bucket), tracks stamped poses, and computes the
 published twist.  Heavy state (map) lives on device; only the 4x4 pose is
 mirrored to host per frame.
+
+Transfer discipline (the whole point of this layer's design): on a
+tunnel-attached chip every host->device transfer pays a ~22 ms protocol
+floor and transfers serialize, so each frame is shipped as ONE packed u16
+buffer (``utils/packing.py``) carrying points + timestamps + count + the
+odometry delta, unpacked on device inside the jitted step.  Blocking mode
+costs exactly one upload + one (19,)-float readback (pose and the running
+overflow totals bit-packed together); streaming mode stages ``stream_chunk``
+frames host-side and uploads them as one transfer, then dispatches the SAME
+per-frame step executable on device-side slices — so blocking and streaming
+trajectories are bitwise identical by construction.
 """
 
 from __future__ import annotations
 
-import math
+import functools
 import warnings
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .config import Config, ServerConfig
 from .models import pipeline
 from .oracle import reference as _ref  # float64 SE(3) helpers for host math
+from .utils import packing
 
 
 def next_bucket(n: int, max_points: int, min_bucket: int = 1024) -> int:
@@ -29,6 +42,40 @@ def next_bucket(n: int, max_points: int, min_bucket: int = 1024) -> int:
     while b < n:
         b *= 2
     return min(b, max_points)
+
+
+@functools.lru_cache(maxsize=64)
+def _make_server_step(config: Config, codec: str):
+    """Jitted per-frame step over a packed upload buffer:
+    (state, ovf_acc, packed, ext) -> (state', ovf_acc', ret) where ret is
+    (19,) f32 = [new pose row-major, running overflow totals bit-cast].
+
+    Module-level lru cache: every server instance with the same (config,
+    bucket, codec) shares one compiled executable (a fresh closure per
+    instance would recompile per server).
+    """
+    bucket = config.max_points
+
+    def fn(state, ovf_acc, packed, extrinsic):
+        with jax.default_matmul_precision("highest"):
+            pts, ts, mask, has_ts, rel = packing.unpack_frame(
+                packed, bucket, codec)
+            state, out = pipeline.register_frame(
+                state, pts, ts, mask, has_ts, extrinsic, rel,
+                config=config)
+            acc = ovf_acc + out.overflow
+            ret = jnp.concatenate([
+                state.pose.reshape(-1).astype(jnp.float32),
+                jax.lax.bitcast_convert_type(acc, jnp.float32)])
+        return state, acc, ret
+
+    return jax.jit(fn, donate_argnums=(0, 1))
+
+
+#: device-side row slice of an uploaded chunk; the traced index means one
+#: compile per chunk SHAPE (jit's own cache), not per row or per server.
+_slice_row = jax.jit(lambda chunk, i: jax.lax.dynamic_index_in_dim(
+    chunk, i, axis=0, keepdims=False))
 
 
 class LidarOdometryServer:
@@ -40,52 +87,108 @@ class LidarOdometryServer:
       * per-frame stationary gate ``|log(delta)| > 1e-3`` (cpp:202),
       * twist = log(last^-1 new)/dt (cpp:210-214),
       * ``set_pose`` service that re-seeds the pose and clears map+threshold.
+
+    Args:
+      upload: frame upload codec — "f32" (default) ships raw float bits
+        (lossless: trajectories are bit-identical to the offline path's
+        inputs), "u16" quantizes positions to the frame bounding box
+        (~0.9 mm worst case at 120 m extent; half the bytes on the wire —
+        bench.py gates its ATE against the reference chaos floor).
+      stream_chunk: frames staged per host->device transfer in streaming
+        mode (``register_frame(blocking=False)``).  Each transfer pays the
+        link's fixed per-transfer floor, so chunking divides that floor by
+        K; latency of the FIRST pose in a chunk grows by the K-frame
+        staging window (throughput/latency trade, disclosed in docs).
+      overflow_check_interval: in streaming mode, sync the device-side
+        overflow totals every this many registered frames so a capacity
+        problem warns mid-stream instead of only at ``drain()`` (one tiny
+        readback per interval; 0 disables the periodic check).
     """
 
     def __init__(self, config: Config | None = None,
                  server_config: ServerConfig | None = None,
-                 extrinsic=None, initial_pose=None, dtype=jnp.float32):
+                 extrinsic=None, initial_pose=None, dtype=jnp.float32,
+                 upload: str = "f32", stream_chunk: int = 8,
+                 overflow_check_interval: int = 64):
         from .utils.compilation_cache import enable_compilation_cache
         enable_compilation_cache()
         self.config = config or Config()
         self.server_config = server_config or ServerConfig()
-        self.extrinsic = np.eye(4) if extrinsic is None else np.asarray(
+        assert upload in packing.CODECS, upload
+        self.upload = upload
+        self.stream_chunk = max(1, int(stream_chunk))
+        self.overflow_check_interval = int(overflow_check_interval)
+        self._extrinsic = np.eye(4) if extrinsic is None else np.asarray(
             extrinsic, np.float64)
+        self._ext_dev = None
         self.dtype = dtype
         self.state = pipeline.init_state(self.config, dtype, initial_pose)
-        self._steps = {}
+        self._ovf_acc = jnp.zeros(3, jnp.int32)
         self.last_stamp: float | None = None
+        #: (stamp, pose) records; a pose is a (4,4) float64 numpy array
+        #: once settled, or (until ``drain()``) a (19,) f32 device array
+        #: holding [pose.ravel(), overflow-bits] for frames still in
+        #: flight from streaming mode.
         self.poses_with_stamps: list[tuple[float, np.ndarray]] = []
         self.frames_registered = 0
         self.frames_skipped = 0
         #: data-loss counters — the reference's dynamic containers drop
         #: nothing (README.md:79), so every drop is counted and warned once:
         #: raw points truncated past max_points, downsample/source voxels
-        #: past capacity, map-insert bucket overflows.
+        #: past capacity, map-insert bucket overflows.  The device-side
+        #: totals live in ``_ovf_acc`` (a running (3,) int32 accumulator —
+        #: no per-frame host sync, no unbounded pending list) and are
+        #: mirrored here at every sync point.
         self.overflow_stats = {"points_truncated": 0,
                                "downsample_dropped": 0,
                                "source_dropped": 0,
                                "insert_failed": 0}
         self._overflow_warned = False
-        #: device-side overflow results of not-yet-drained non-blocking
-        #: frames (see register_frame(blocking=False) / drain())
-        self._pending_overflow: list = []
+        # streaming staging (see register_frame(blocking=False) / drain())
+        self._staging: np.ndarray | None = None   # (K, W) u16, fresh per chunk
+        self._staging_bucket = 0
+        self._staging_rows = 0
+        #: records of not-yet-dispatched streaming frames, in arrival
+        #: order: ("frame", stamp_or_None) consumes the next staging row;
+        #: ("skip", stamp) is a stationary frame re-using the latest pose.
+        self._stream_records: list[tuple[str, float | None]] = []
+        self._last_ret = None  # latest dispatched step's (19,) ret array
+        self._last_pose_np = None  # host mirror of state.pose (f64), if known
+        self._frames_since_ovf_check = 0
         # message-interface state (lazy init like LidarOdometryServer.cpp:160)
         self._initialized = initial_pose is not None or extrinsic is not None
         self._stamps_handler = None
 
     # ------------------------------------------------------------------
     @property
+    def extrinsic(self) -> np.ndarray:
+        return self._extrinsic
+
+    @extrinsic.setter
+    def extrinsic(self, value):
+        self._extrinsic = np.asarray(value, np.float64)
+        self._ext_dev = None  # re-upload lazily
+
+    def _extrinsic_device(self):
+        if self._ext_dev is None:
+            self._ext_dev = jnp.asarray(self._extrinsic.astype(np.float32))
+        return self._ext_dev
+
+    @property
     def pose(self) -> np.ndarray:
+        self._flush()
         return np.asarray(self.state.pose, np.float64)
 
     def set_pose(self, pose):
         """Re-seed pose; clears map and threshold (KinematicICP.hpp:86-90)."""
+        self._flush()
         self.state = pipeline.set_pose(self.state, jnp.asarray(
             np.asarray(pose, np.float64), dtype=self.dtype), self.config)
+        self._last_pose_np = np.asarray(self.state.pose, np.float64)
 
     def local_map_pointcloud(self) -> np.ndarray:
         from .ops import hashmap
+        self._flush()
         pts, mask = hashmap.pointcloud(self.state.map, self.config.voxel_size)
         arr = np.stack([np.asarray(pts.x), np.asarray(pts.y),
                         np.asarray(pts.z)], axis=-1)
@@ -102,11 +205,10 @@ class LidarOdometryServer:
             self._overflow_warned = True
 
     def _step_for(self, bucket: int):
-        if bucket not in self._steps:
-            cfg = self.config.replace(max_points=bucket)
-            self._steps[bucket] = pipeline.make_step(cfg, donate=True)
-        return self._steps[bucket]
+        return _make_server_step(
+            self.config.replace(max_points=bucket), self.upload)
 
+    # ------------------------------------------------------------------
     def register_frame(self, points, timestamps=None, relative_odometry=None,
                        stamp: float | None = None, blocking: bool = True):
         """Process one scan.
@@ -120,105 +222,189 @@ class LidarOdometryServer:
           stamp: scan end timestamp in seconds (for twist & TUM output).
           blocking: True (default) returns only after the device finished
             the frame and mirrors pose/overflow to host — the reference's
-            synchronous per-message shape (online_node.cpp:40-67).  False
-            is the pipelined streaming mode: the frame is ENQUEUED (JAX
-            async dispatch — host padding + transfer + dispatch only,
-            no device->host sync), the returned ``pose`` is a device
-            array whose materialization blocks until ready, ``twist`` is
-            None, and overflow accounting is deferred to ``drain()``
-            (totals stay exact; the capacity warning fires at drain time
-            instead of mid-stream).  On a remote/tunnel-attached device
-            the sync round trip dominates per-frame latency, so the
-            non-blocking mode recovers device-rate throughput while
-            frame k+1's host work overlaps frame k's compute; call
-            ``drain()`` (or read ``pose`` / ``overflow_stats`` via
-            ``drain``) at any sync point.
+            synchronous per-message shape (online_node.cpp:40-67); cost is
+            one packed upload + one 76-byte readback per frame.  False is
+            the pipelined streaming mode: the frame is STAGED host-side
+            and shipped with up to ``stream_chunk - 1`` peers in a single
+            transfer, then dispatched asynchronously; ``pose`` in the
+            returned dict is None and ``twist`` is None (poses settle into
+            ``poses_with_stamps`` as float64 numpy at ``drain()``).
+            Overflow totals stay exact either way; in streaming mode the
+            capacity warning fires at the periodic overflow check
+            (``overflow_check_interval``) or at ``drain()``, whichever
+            comes first.
 
-        Returns dict with pose, twist (6,) or None, registered: bool.
+        Returns dict with pose ((4,4) float64 numpy, or None in streaming
+        mode), twist (6,) or None, registered: bool.
         """
         rel = (np.eye(4) if relative_odometry is None
                else np.asarray(relative_odometry, np.float64))
-        # The pre-step pose is only needed for the twist (blocking mode);
-        # reading it in streaming mode would force a device sync per frame.
-        last_pose = self.pose if blocking else None
 
         # Stationary gate (LidarOdometryServer.cpp:202).
         gate = float(np.linalg.norm(_ref.se3_log(rel)))
+        active = gate > self.server_config.stationary_gate
+
+        if not blocking:
+            return self._register_streaming(points, timestamps, rel, stamp,
+                                            active)
+        self._flush()  # settle any staged streaming frames first, in order
+
         registered = False
-        if gate > self.server_config.stationary_gate:
+        # The pre-step pose is only needed for the twist; the host mirror
+        # from the previous blocking frame avoids a second device->host
+        # round trip (each one costs a full link RTT on a tunnel).
+        last_pose = self._last_pose_np
+        if last_pose is None:
+            last_pose = np.asarray(self.state.pose, np.float64)
+        new_pose = last_pose
+        if active:
             points = np.asarray(points, np.float32).reshape(-1, 3)
             n = len(points)
             bucket = next_bucket(max(n, 1), self.config.max_points)
-            npts = min(n, bucket)
-            if npts < n:
-                self.overflow_stats["points_truncated"] += n - npts
-                self._warn_overflow(
-                    f"scan has {n} points > Config.max_points="
-                    f"{self.config.max_points}; {n - npts} dropped")
-            pad_pts = np.zeros((bucket, 3), np.float32)
-            pad_pts[:npts] = points[:npts]
-            pad_ts = np.zeros((bucket,), np.float32)
-            has_ts = timestamps is not None and len(timestamps) == n
-            if has_ts:
-                pad_ts[:npts] = np.asarray(timestamps, np.float32)[:npts]
-            mask = np.arange(bucket) < npts
-
+            self._count_truncation(n, bucket)
+            buf, _ = packing.pack_frame(points, timestamps, rel, bucket,
+                                        self.upload)
             step = self._step_for(bucket)
-            self.state, out = step(
-                self.state, jnp.asarray(pad_pts), jnp.asarray(pad_ts),
-                jnp.asarray(mask), jnp.bool_(has_ts),
-                jnp.asarray(self.extrinsic.astype(np.float32)),
-                jnp.asarray(rel.astype(np.float32)))
+            self.state, self._ovf_acc, ret = step(
+                self.state, self._ovf_acc, jnp.asarray(buf),
+                self._extrinsic_device())
             self.frames_registered += 1
             registered = True
-            if blocking:
-                self._account_overflow(np.asarray(out.overflow))
-            else:
-                # Deferred: keep the (3,) device array; drain() stacks and
-                # syncs them in ONE transfer.  Totals are exact either way.
-                self._pending_overflow.append(out.overflow)
+            ret_np = np.asarray(ret)  # the ONE device->host sync
+            new_pose = ret_np[:16].astype(np.float64).reshape(4, 4)
+            self._sync_overflow(ret_np[16:19])
         else:
             self.frames_skipped += 1
+        self._last_pose_np = new_pose
 
-        # Streaming mode keeps the pose on device; .copy() gives it a
-        # buffer independent of the donated state (the next step would
-        # otherwise delete it) without any host sync.
-        new_pose = self.pose if blocking else self.state.pose.copy()
         twist = None
-        if blocking and stamp is not None and self.last_stamp is not None:
+        if stamp is not None and self.last_stamp is not None:
             dt = stamp - self.last_stamp
             if dt > 0:
-                twist = _ref.se3_log(np.linalg.inv(last_pose) @ new_pose) / dt
+                twist = _ref.se3_log(
+                    np.linalg.inv(last_pose) @ new_pose) / dt
         if stamp is not None:
             self.last_stamp = stamp
             self.poses_with_stamps.append((stamp, new_pose))
         return {"pose": new_pose, "twist": twist, "registered": registered}
 
+    # ------------------------------------------------------------------
+    def _count_truncation(self, n: int, bucket: int):
+        if n > bucket:
+            self.overflow_stats["points_truncated"] += n - bucket
+            self._warn_overflow(
+                f"scan has {n} points > Config.max_points="
+                f"{self.config.max_points}; {n - bucket} dropped")
+
+    def _register_streaming(self, points, timestamps, rel, stamp, active):
+        """Stage one frame; flush when the chunk fills."""
+        if not active:
+            self.frames_skipped += 1
+            self._stream_records.append(("skip", stamp))
+            if stamp is not None:
+                self.last_stamp = stamp
+            return {"pose": None, "twist": None, "registered": False}
+
+        points = np.asarray(points, np.float32).reshape(-1, 3)
+        n = len(points)
+        bucket = next_bucket(max(n, 1), self.config.max_points)
+        self._count_truncation(n, bucket)
+        if self._staging is not None and bucket != self._staging_bucket:
+            self._flush()  # bucket change: ship what we have
+        if self._staging is None:
+            # A FRESH zeroed buffer per chunk: jnp.asarray may transfer
+            # asynchronously while holding a reference to the host memory,
+            # so staged buffers are never reused after upload; zeroed
+            # padding also reproduces the legacy explicit zero-pad exactly.
+            self._staging = np.zeros(
+                (self.stream_chunk, packing.packed_words(bucket, self.upload)),
+                np.uint16)
+            self._staging_bucket = bucket
+            self._staging_rows = 0
+        packing.pack_frame_into(self._staging[self._staging_rows], points,
+                                timestamps, rel, self.upload)
+        self._staging_rows += 1
+        self._last_pose_np = None  # pose advances on device asynchronously
+        self._stream_records.append(("frame", stamp))
+        self.frames_registered += 1
+        if stamp is not None:
+            self.last_stamp = stamp
+        if self._staging_rows >= self.stream_chunk:
+            self._flush()
+        return {"pose": None, "twist": None, "registered": True}
+
+    def _flush(self):
+        """Upload staged streaming frames (one transfer) and dispatch them
+        asynchronously, resolving pose records in arrival order."""
+        records, self._stream_records = self._stream_records, []
+        if self._staging_rows:
+            chunk = jnp.asarray(self._staging[:self._staging_rows])
+            step = self._step_for(self._staging_bucket)
+        row = 0
+        for kind, stamp in records:
+            if kind == "frame":
+                self.state, self._ovf_acc, self._last_ret = step(
+                    self.state, self._ovf_acc, _slice_row(chunk, row),
+                    self._extrinsic_device())
+                row += 1
+                self._frames_since_ovf_check += 1
+            if stamp is not None:
+                if self._last_ret is not None:
+                    self.poses_with_stamps.append((stamp, self._last_ret))
+                else:
+                    # stationary before any registered frame: initial pose
+                    self.poses_with_stamps.append(
+                        (stamp, np.asarray(self.state.pose, np.float64)))
+        self._staging = None
+        self._staging_rows = 0
+        if (self.overflow_check_interval
+                and self._frames_since_ovf_check
+                >= self.overflow_check_interval):
+            self._frames_since_ovf_check = 0
+            self._sync_overflow(np.asarray(self._last_ret)[16:19])
+
     def drain(self):
-        """Synchronize all in-flight non-blocking frames.
+        """Synchronize all in-flight streaming frames.
 
-        Blocks until every enqueued frame finished on device, folds the
-        deferred overflow counters into ``overflow_stats`` (one stacked
-        transfer), and materializes any device poses recorded in
-        ``poses_with_stamps``.  Idempotent; a no-op after blocking calls.
+        Flushes any staged frames, blocks until the device finished,
+        materializes every pending device pose in ONE stacked transfer,
+        and folds the device-side overflow totals into ``overflow_stats``
+        (warning if any capacity overflowed).  Idempotent; a no-op after
+        blocking calls.
         """
-        if self._pending_overflow:
-            ovf = np.asarray(jnp.stack(self._pending_overflow))
-            self._pending_overflow.clear()
-            self._account_overflow(ovf.sum(axis=0))
-        self.poses_with_stamps = [
-            (s, p if isinstance(p, np.ndarray)
-             else np.asarray(p, np.float64))
-            for s, p in self.poses_with_stamps]
+        self._flush()
+        pending = [(i, p) for i, (s, p) in enumerate(self.poses_with_stamps)
+                   if not isinstance(p, np.ndarray)]
+        if pending or self._last_pose_np is None:
+            if self._last_ret is None:
+                return  # nothing ever dispatched
+            # ONE stacked transfer settles every pending pose record plus
+            # the latest step's ret (authoritative pose + overflow totals
+            # even when the last dispatched frame was unstamped).
+            stacked = np.asarray(jnp.stack(
+                [p for _, p in pending] + [self._last_ret]))
+            for (i, _), row in zip(pending, stacked):
+                s, _ = self.poses_with_stamps[i]
+                self.poses_with_stamps[i] = (
+                    s, row[:16].astype(np.float64).reshape(4, 4))
+            self._sync_overflow(stacked[-1][16:19])
+            self._last_pose_np = (
+                stacked[-1][:16].astype(np.float64).reshape(4, 4))
 
-    def _account_overflow(self, ovf):
-        if ovf.any():
-            self.overflow_stats["downsample_dropped"] += int(ovf[0])
-            self.overflow_stats["source_dropped"] += int(ovf[1])
-            self.overflow_stats["insert_failed"] += int(ovf[2])
+    def _sync_overflow(self, acc_bits: np.ndarray):
+        """Mirror the device-side running totals (f32-bitcast int32 counts
+        from a step's ret tail) into ``overflow_stats``."""
+        acc = np.ascontiguousarray(acc_bits, np.float32).view(np.int32)
+        changed = (int(acc[0]) != self.overflow_stats["downsample_dropped"]
+                   or int(acc[1]) != self.overflow_stats["source_dropped"]
+                   or int(acc[2]) != self.overflow_stats["insert_failed"])
+        self.overflow_stats["downsample_dropped"] = int(acc[0])
+        self.overflow_stats["source_dropped"] = int(acc[1])
+        self.overflow_stats["insert_failed"] = int(acc[2])
+        if acc.any() and changed:
             self._warn_overflow(
                 f"capacity overflow (downsample/source/insert voxels "
-                f"dropped: {np.asarray(ovf).tolist()}); raise "
+                f"dropped: {acc.tolist()} total); raise "
                 f"Config.max_downsampled/max_source/map_capacity")
 
     # ------------------------------------------------------------------
@@ -262,6 +448,9 @@ class LidarOdometryServer:
     def make_odometry_message(self, result, stamp: float):
         """nav_msgs/Odometry with the parameterized fixed covariance
         (PublishOdometryMsg parity, LidarOdometryServer.cpp:144-157,220-238).
+
+        Use with BLOCKING results (streaming results carry ``pose=None``
+        until ``drain()`` — call drain and read ``poses_with_stamps``).
         """
         from scipy.spatial.transform import Rotation
 

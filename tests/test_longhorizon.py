@@ -35,9 +35,14 @@ def drive():
 
 @pytest.fixture(scope="module")
 def run(drive):
-    poses, final_state = run_offline(
-        drive["frames"], drive["rel_odometry"], CFG,
-        extrinsic=drive["extrinsic"])
+    import warnings
+    with warnings.catch_warnings():
+        # the deliberately tight map_capacity drops a pinned number of
+        # insert allocations (asserted below); don't fail on the warning
+        warnings.simplefilter("ignore", UserWarning)
+        poses, final_state = run_offline(
+            drive["frames"], drive["rel_odometry"], CFG,
+            extrinsic=drive["extrinsic"])
     return poses, final_state
 
 
@@ -83,6 +88,26 @@ class TestLongHorizon:
         occ = int(hashmap.num_voxels(state.map))
         assert 0 < occ < 0.8 * CFG.map_capacity, occ
         assert float(state.threshold.num_samples) > 100
+
+    def test_insert_drop_count_pinned(self, drive):
+        """The 500-frame drive at this deliberately tight map_capacity
+        drops EXACTLY 26 insert allocations (0 downsample, 0 source) —
+        pinned so a capacity/eviction regression shows up as a number
+        change, not a silently-absorbed warning (VERDICT r4 Weak #5)."""
+        import jax.numpy as jnp
+        from kinematic_icp_tpu.offline import (make_sequence_runner,
+                                               pad_sequence)
+        pts, ts, mask, has_ts, rels = pad_sequence(
+            drive["frames"], drive["rel_odometry"], CFG)
+        runner = make_sequence_runner(CFG)
+        state = pipeline.init_state(CFG)
+        _, _, overflow, fallbacks = runner(
+            state, jnp.asarray(pts), jnp.asarray(ts), jnp.asarray(mask),
+            jnp.asarray(has_ts),
+            jnp.asarray(drive["extrinsic"], jnp.float32),
+            jnp.asarray(rels))
+        assert np.asarray(overflow).tolist() == [0, 0, 26]
+        assert int(fallbacks) == 0  # not in exact mode
 
     def test_checkpoint_resume_equals_uninterrupted(self, run, drive,
                                                     tmp_path):

@@ -44,7 +44,7 @@ def sweep(tag, cfg, seq, runs=2):
         runner = make_batched_sequence_runner(cfg)
         state = init_batched_state(cfg, batch)
         t0 = time.time()
-        _, bposes, overflow = runner(state, bargs[0], bargs[1], bargs[2],
+        _, bposes, overflow, _ = runner(state, bargs[0], bargs[1], bargs[2],
                                      bargs[3], ext, bargs[4])
         np.asarray(bposes)
         compile_s = time.time() - t0
@@ -53,7 +53,7 @@ def sweep(tag, cfg, seq, runs=2):
             state = init_batched_state(cfg, batch)
             jax.tree.map(lambda x: x.block_until_ready(), state)
             t0 = time.time()
-            _, bposes, _ = runner(state, bargs[0], bargs[1], bargs[2],
+            _, bposes, _, _ = runner(state, bargs[0], bargs[1], bargs[2],
                                   bargs[3], ext, bargs[4])
             np.asarray(bposes)
             times.append(time.time() - t0)

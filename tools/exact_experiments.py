@@ -60,7 +60,7 @@ def main():
         runner = make_sequence_runner(cfg, unroll)
         state = pipeline.init_state(cfg)
         t0 = time.time()
-        _, poses, overflow = runner(state, *dev)
+        _, poses, overflow, _ = runner(state, *dev)
         poses = np.asarray(poses, np.float64)
         compile_s = time.time() - t0
         times = []
@@ -68,7 +68,7 @@ def main():
             st = pipeline.init_state(cfg)
             jax.tree.map(lambda x: x.block_until_ready(), st)
             t0 = time.time()
-            _, p, _ = runner(st, *dev)
+            _, p, _, _ = runner(st, *dev)
             np.asarray(p)
             times.append(time.time() - t0)
         fps = FRAMES / min(times)

@@ -134,14 +134,14 @@ def main():
 
             ext = jnp.eye(4)
             st = mk_state()
-            _, poses, _ = runner(st, dev[0], dev[1], dev[2], dev[3], ext, dev[4])
+            _, poses, _, _ = runner(st, dev[0], dev[1], dev[2], dev[3], ext, dev[4])
             np.asarray(poses)
             times = []
             for _ in range(args.runs):
                 st = mk_state()
                 jax.tree.map(lambda x: x.block_until_ready(), st)
                 t0 = time.time()
-                _, poses, _ = runner(st, dev[0], dev[1], dev[2], dev[3], ext,
+                _, poses, _, _ = runner(st, dev[0], dev[1], dev[2], dev[3], ext,
                                   dev[4])
                 np.asarray(poses)
                 times.append(time.time() - t0)

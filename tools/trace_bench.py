@@ -49,14 +49,14 @@ def main():
     dev = (jnp.asarray(pts), jnp.asarray(ts), jnp.asarray(mask),
            jnp.asarray(has_ts), ext, jnp.asarray(rels))
     state = pipeline.init_state(cfg)
-    _, poses, _ = runner(state, *dev)
+    _, poses, _, _ = runner(state, *dev)
     np.asarray(poses)
 
     state = pipeline.init_state(cfg)
     jax.tree.map(lambda x: x.block_until_ready(), state)
     os.system(f"rm -rf {TRACE_DIR}")
     with jax.profiler.trace(TRACE_DIR):
-        _, poses, _ = runner(state, *dev)
+        _, poses, _, _ = runner(state, *dev)
         np.asarray(poses)
 
     # Parse the trace: sum durations by event name on device tracks.
