@@ -77,6 +77,23 @@ def _make_server_step(config: Config, codec: str):
 _slice_row = jax.jit(lambda chunk, i: jax.lax.dynamic_index_in_dim(
     chunk, i, axis=0, keepdims=False))
 
+#: append a (rows, 19) block of step rets into the device-side ret log at a
+#: traced offset — one compile per (log capacity, rows) pair, log2-many
+#: classes over a server's lifetime; the log is donated (updates in place)
+_log_update = jax.jit(
+    lambda log, block, off: jax.lax.dynamic_update_slice(
+        log, block, (off, 0)),
+    donate_argnums=(0,))
+
+
+class _PendingPose:
+    """Marker in ``poses_with_stamps``: pose = row ``idx`` of the device
+    ret log, materialized at ``drain()`` in one transfer."""
+    __slots__ = ("idx",)
+
+    def __init__(self, idx: int):
+        self.idx = idx
+
 
 class LidarOdometryServer:
     """Stateful odometry service over the jitted pipeline step.
@@ -126,9 +143,9 @@ class LidarOdometryServer:
         self._ovf_acc = jnp.zeros(3, jnp.int32)
         self.last_stamp: float | None = None
         #: (stamp, pose) records; a pose is a (4,4) float64 numpy array
-        #: once settled, or (until ``drain()``) a (19,) f32 device array
-        #: holding [pose.ravel(), overflow-bits] for frames still in
-        #: flight from streaming mode.
+        #: once settled, or (until ``drain()``) a ``_PendingPose`` marker
+        #: indexing the device-side ret log for frames still in flight
+        #: from streaming mode.
         self.poses_with_stamps: list[tuple[float, np.ndarray]] = []
         self.frames_registered = 0
         self.frames_skipped = 0
@@ -155,6 +172,13 @@ class LidarOdometryServer:
         self._last_ret = None  # latest dispatched step's (19,) ret array
         self._last_pose_np = None  # host mirror of state.pose (f64), if known
         self._frames_since_ovf_check = 0
+        #: device-side (cap, 19) log of every streamed step's ret, appended
+        #: one fixed-shape dynamic_update_slice per flush; drain() fetches
+        #: the whole log in ONE transfer and resolves _PendingPose records
+        #: from it (no per-pose round trips, no variable-length stack
+        #: compiles on the hot path)
+        self._ret_log = None
+        self._ret_count = 0
         # message-interface state (lazy init like LidarOdometryServer.cpp:160)
         self._initialized = initial_pose is not None or extrinsic is not None
         self._stamps_handler = None
@@ -300,6 +324,17 @@ class LidarOdometryServer:
         """Stage one frame; flush when the chunk fills."""
         if not active:
             self.frames_skipped += 1
+            if (not self._stream_records and not self._staging_rows
+                    and self._last_pose_np is not None):
+                # nothing in flight and the pose is settled host-side
+                # (e.g. right after a blocking frame): record immediately
+                if stamp is not None:
+                    self.last_stamp = stamp
+                    self.poses_with_stamps.append(
+                        (stamp, self._last_pose_np))
+                return {"pose": None, "twist": None, "registered": False}
+            # otherwise defer: the pose is whatever the latest in-flight
+            # frame produces (resolved in arrival order at flush)
             self._stream_records.append(("skip", stamp))
             if stamp is not None:
                 self.last_stamp = stamp
@@ -333,31 +368,55 @@ class LidarOdometryServer:
             self._flush()
         return {"pose": None, "twist": None, "registered": True}
 
+    def _append_rets(self, rets):
+        """Append this flush's rets to the device log (growing by powers
+        of two; the log updates in place via donation)."""
+        block = jnp.stack(rets)
+        cap = 0 if self._ret_log is None else self._ret_log.shape[0]
+        need = self._ret_count + len(rets)
+        if need > cap:
+            new_cap = 1 << max(8, (need - 1).bit_length())
+            new_log = jnp.zeros((new_cap, 19), jnp.float32)
+            if self._ret_count:
+                new_log = _log_update(new_log, self._ret_log, 0)
+            self._ret_log = new_log
+        self._ret_log = _log_update(self._ret_log, block, self._ret_count)
+        self._ret_count = need
+
     def _flush(self):
         """Upload staged streaming frames (one transfer) and dispatch them
         asynchronously, resolving pose records in arrival order."""
         records, self._stream_records = self._stream_records, []
+        rets = []
         if self._staging_rows:
             chunk = jnp.asarray(self._staging[:self._staging_rows])
             step = self._step_for(self._staging_bucket)
-        row = 0
         for kind, stamp in records:
             if kind == "frame":
-                self.state, self._ovf_acc, self._last_ret = step(
-                    self.state, self._ovf_acc, _slice_row(chunk, row),
+                self.state, self._ovf_acc, ret = step(
+                    self.state, self._ovf_acc,
+                    _slice_row(chunk, len(rets)),
                     self._extrinsic_device())
-                row += 1
+                rets.append(ret)
+                self._last_ret = ret
                 self._frames_since_ovf_check += 1
             if stamp is not None:
-                if self._last_ret is not None:
-                    self.poses_with_stamps.append((stamp, self._last_ret))
+                # a skip record only exists when frames were in flight at
+                # record time (see _register_streaming), so its pose is
+                # the latest preceding ret — or the initial pose if the
+                # stream started with stationary frames
+                idx = self._ret_count + len(rets) - 1
+                if idx >= 0:
+                    self.poses_with_stamps.append(
+                        (stamp, _PendingPose(idx)))
                 else:
-                    # stationary before any registered frame: initial pose
                     self.poses_with_stamps.append(
                         (stamp, np.asarray(self.state.pose, np.float64)))
+        if rets:
+            self._append_rets(rets)
         self._staging = None
         self._staging_rows = 0
-        if (self.overflow_check_interval
+        if (self.overflow_check_interval and rets
                 and self._frames_since_ovf_check
                 >= self.overflow_check_interval):
             self._frames_since_ovf_check = 0
@@ -367,29 +426,23 @@ class LidarOdometryServer:
         """Synchronize all in-flight streaming frames.
 
         Flushes any staged frames, blocks until the device finished,
-        materializes every pending device pose in ONE stacked transfer,
-        and folds the device-side overflow totals into ``overflow_stats``
-        (warning if any capacity overflowed).  Idempotent; a no-op after
-        blocking calls.
+        fetches the device-side ret log in ONE transfer, resolves every
+        pending pose record from it, and folds the device-side overflow
+        totals into ``overflow_stats`` (warning if any capacity
+        overflowed).  Idempotent; a no-op after blocking calls.
         """
         self._flush()
-        pending = [(i, p) for i, (s, p) in enumerate(self.poses_with_stamps)
-                   if not isinstance(p, np.ndarray)]
-        if pending or self._last_pose_np is None:
-            if self._last_ret is None:
-                return  # nothing ever dispatched
-            # ONE stacked transfer settles every pending pose record plus
-            # the latest step's ret (authoritative pose + overflow totals
-            # even when the last dispatched frame was unstamped).
-            stacked = np.asarray(jnp.stack(
-                [p for _, p in pending] + [self._last_ret]))
-            for (i, _), row in zip(pending, stacked):
-                s, _ = self.poses_with_stamps[i]
+        if not self._ret_count:
+            return  # nothing in flight
+        log_np = np.asarray(self._ret_log)  # the ONE device->host transfer
+        for i, (s, p) in enumerate(self.poses_with_stamps):
+            if isinstance(p, _PendingPose):
                 self.poses_with_stamps[i] = (
-                    s, row[:16].astype(np.float64).reshape(4, 4))
-            self._sync_overflow(stacked[-1][16:19])
-            self._last_pose_np = (
-                stacked[-1][:16].astype(np.float64).reshape(4, 4))
+                    s, log_np[p.idx, :16].astype(np.float64).reshape(4, 4))
+        last = log_np[self._ret_count - 1]
+        self._sync_overflow(last[16:19])
+        self._last_pose_np = last[:16].astype(np.float64).reshape(4, 4)
+        self._ret_count = 0  # reuse the log buffer for the next stream
 
     def _sync_overflow(self, acc_bits: np.ndarray):
         """Mirror the device-side running totals (f32-bitcast int32 counts

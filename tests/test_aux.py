@@ -108,6 +108,33 @@ class TestStreamingServer:
         sn.drain()  # idempotent
         assert sn.overflow_stats == sb.overflow_stats
 
+    def test_mixed_blocking_streaming_stationary(self):
+        """Interleaved blocking / streaming / stationary frames must give
+        the same stamped trajectory as pure blocking mode."""
+        from kinematic_icp_tpu.server import LidarOdometryServer
+        cfg = Config(max_points=4096, max_downsampled=4096, max_source=1024,
+                     map_capacity=1 << 13, max_range=60.0, deskew=True)
+        seq = synthetic.make_sequence(NUM_FRAMES)
+        rels = list(seq["rel_odometry"])
+        rels[3] = np.eye(4)   # stationary mid-stream
+        rels[7] = np.eye(4)   # stationary right after a blocking frame
+        sb = LidarOdometryServer(cfg, extrinsic=seq["extrinsic"])
+        sn = LidarOdometryServer(cfg, extrinsic=seq["extrinsic"],
+                                 stream_chunk=4)
+        for i, (p, t) in enumerate(seq["frames"]):
+            sb.register_frame(p, t, rels[i], stamp=0.1 * (i + 1))
+            # frames 5-6 blocking (forces a mid-stream flush + settles
+            # the pose), everything else streamed
+            blocking = i in (5, 6)
+            sn.register_frame(p, t, rels[i], stamp=0.1 * (i + 1),
+                              blocking=blocking)
+        sn.drain()
+        np.testing.assert_array_equal(
+            np.asarray([p for _, p in sb.poses_with_stamps]),
+            np.asarray([p for _, p in sn.poses_with_stamps]))
+        # frame 0's identity delta + the two injected stationary frames
+        assert sn.frames_skipped == sb.frames_skipped == 3
+
     def test_drain_accounts_overflow(self):
         from kinematic_icp_tpu.server import LidarOdometryServer
         # Tiny capacities force downsample/source drops every frame.
