@@ -83,6 +83,8 @@ def time_tpu_sequence(cfg, seq, runs=BENCH_RUNS):
     from kinematic_icp_tpu.models import pipeline
     from kinematic_icp_tpu.offline import make_sequence_runner, pad_sequence
 
+    truncated = int(sum(max(0, len(p) - cfg.max_points)
+                        for p, _ in seq["frames"]))
     pts, ts, mask, has_ts, rels = pad_sequence(
         seq["frames"], seq["rel_odometry"], cfg)
     runner = make_sequence_runner(cfg)
@@ -114,6 +116,10 @@ def time_tpu_sequence(cfg, seq, runs=BENCH_RUNS):
         # [downsample, source, insert] drops over the whole sequence — the
         # reference drops nothing, so these must be 0 for an honest run
         "overflow_totals": [int(v) for v in overflow],
+        # raw-scan points beyond max_points dropped by pad_sequence (r5:
+        # counted after the silent-truncation bug, docs/accuracy.md;
+        # folded into completeness_pass alongside overflow_totals)
+        "points_truncated": truncated,
         # frames where the certified Pallas exact path's window-margin
         # certificate was violated and the full-27 XLA loop recomputed
         # the frame (0 outside exact mode)
@@ -262,12 +268,14 @@ def main():
                 ate_vs_native <= max(ATE_GATE_M, 3.0 * chaos_floor)
                 or rpe_vs_native <= max(0.002, 2.0 * rpe_floor)),
             "completeness_pass": bool(
-                not any(extras_large["overflow_totals"])),
+                not any(extras_large["overflow_totals"])
+                and not extras_large["points_truncated"]),
             "ate_gate_pass": bool(
                 ate_15 <= ATE_GATE_M
                 and (ate_vs_native <= max(ATE_GATE_M, 3.0 * chaos_floor)
                      or rpe_vs_native <= max(0.002, 2.0 * rpe_floor))
-                and not any(extras_large["overflow_totals"])),
+                and not any(extras_large["overflow_totals"])
+                and not extras_large["points_truncated"]),
             "ate_vs_gt_m": round(float(ate_vs_gt), 4),
             "native_ate_vs_gt_m": round(float(native_ate_vs_gt), 4),
             "note": "chaos floor = reference-vs-reference self-divergence "
@@ -333,13 +341,16 @@ def main():
         }
 
     # ---- legacy small-frame regime + python-oracle differential ----------
-    # Capacities sized to the workload (~2.8K points/frame) the same way a
-    # deployment would bucket them: no truncation (max_points > every frame),
-    # downsample/source overflow counters stay 0, and the ATE gate below
-    # verifies trajectories.  The old 8192/4096/2^16 sizing wasted >2x frame
-    # time on dead lanes and its max_source kept the fused Pallas GN kernel
-    # over the VMEM fit limit.
-    cfg_small = Config(max_points=4096, max_downsampled=4096,
+    # Capacities sized to the workload the same way a deployment would
+    # bucket them: no truncation (round 5 found the r2-r4 max_points=4096
+    # silently truncated 7/100 scans — the canonical sequence peaks at
+    # 5,559 points; measured ATE-neutral here, 0.0483 -> 0.0481, but the
+    # "drops nothing" contract now costs ~4.5% fps and is enforced via
+    # points_truncated == 0 in the completeness gate), downsample/source
+    # overflow counters stay 0, and the ATE gate below verifies
+    # trajectories.  max_source=1024 keeps the fused Pallas GN kernel
+    # under the VMEM fit limit.
+    cfg_small = Config(max_points=8192, max_downsampled=4096,
                        max_source=1024, map_capacity=1 << 14, max_probes=8,
                        voxel_size=1.0, max_range=60.0, deskew=True)
     seq_small = synthetic.make_sequence(SMALL_FRAMES)
@@ -352,6 +363,7 @@ def main():
         "fps": round(fps_small, 1),
         "native_cpu_fps": round(native_small_stats["fps"], 1),
         "overflow_totals": extras_small["overflow_totals"],
+        "points_truncated": extras_small["points_truncated"],
         "ate_vs_reference_m": round(float(ate_rmse(
             list(native_small_poses), list(poses_small), align=False)), 4),
     }
@@ -421,7 +433,7 @@ def main():
                 for a in (pts, ts, mask, has_ts, rels))
             brunner = make_batched_sequence_runner(cfg_small)
             bstate = init_batched_state(cfg_small, batch)
-            _, bposes, _ = brunner(bstate, bargs[0], bargs[1], bargs[2],
+            _, bposes, _, _ = brunner(bstate, bargs[0], bargs[1], bargs[2],
                                    bargs[3], ext, bargs[4])
             np.asarray(bposes)
             btimes = []
@@ -429,7 +441,7 @@ def main():
                 bstate = init_batched_state(cfg_small, batch)
                 jax.tree.map(lambda x: x.block_until_ready(), bstate)
                 t0 = time.time()
-                _, bposes, _ = brunner(bstate, bargs[0], bargs[1],
+                _, bposes, _, _ = brunner(bstate, bargs[0], bargs[1],
                                        bargs[2], bargs[3], ext, bargs[4])
                 np.asarray(bposes)
                 btimes.append(time.time() - t0)

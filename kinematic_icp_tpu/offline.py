@@ -143,6 +143,13 @@ def pad_sequence(frames, rel_odometry, config: Config, timestamps=None):
     """Pack ragged frames into device-ready (F, N, ...) arrays.
 
     frames: list of (points (N_i, 3), ts (N_i,)) tuples or plain arrays.
+
+    Scans longer than ``config.max_points`` are truncated — and because a
+    lidar scan is angularly ordered, dropping the tail removes a whole
+    angular SECTOR, which measurably degrades registration (a 100-frame
+    synthetic drive went from 4.0 m ATE truncated to 0.03 m untruncated
+    in the round-5 experiment that surfaced this).  The reference drops
+    nothing (README.md:79), so truncation warns loudly with the total.
     """
     f = len(frames)
     n = config.max_points
@@ -151,6 +158,8 @@ def pad_sequence(frames, rel_odometry, config: Config, timestamps=None):
     mask = np.zeros((f, n), bool)
     has_ts = np.zeros((f,), bool)
     rels = np.tile(np.eye(4, dtype=np.float32), (f, 1, 1))
+    truncated_points = 0
+    truncated_frames = 0
     for i, fr in enumerate(frames):
         if isinstance(fr, tuple):
             p, t = fr
@@ -160,6 +169,9 @@ def pad_sequence(frames, rel_odometry, config: Config, timestamps=None):
             t = timestamps[i]
         p = np.asarray(p, np.float32).reshape(-1, 3)
         k = min(len(p), n)
+        if len(p) > n:
+            truncated_points += len(p) - n
+            truncated_frames += 1
         pts[i, :k] = p[:k]
         mask[i, :k] = True
         if t is not None and len(t) >= k:
@@ -167,6 +179,13 @@ def pad_sequence(frames, rel_odometry, config: Config, timestamps=None):
             has_ts[i] = True
         if rel_odometry is not None and rel_odometry[i] is not None:
             rels[i] = np.asarray(rel_odometry[i], np.float32)
+    if truncated_points:
+        import warnings
+        warnings.warn(
+            f"pad_sequence dropped {truncated_points} points from "
+            f"{truncated_frames}/{f} scans longer than Config.max_points="
+            f"{n}; scan-tail truncation removes an angular sector and "
+            f"degrades accuracy — raise max_points", stacklevel=2)
     return pts, ts, mask, has_ts, rels
 
 

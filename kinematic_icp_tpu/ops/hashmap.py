@@ -358,21 +358,35 @@ def gather_candidates(m: MapState, q: P3, voxel_size: float, max_probes: int,
     ukx = bx.astype(jnp.uint32)
     uky = by.astype(jnp.uint32)
     ukz = bz.astype(jnp.uint32)
-    fat = m.table[bucket]                                        # (V, N, G*R)
+    v_n = bx.shape
+    # The row gather runs on FLAT (V*N,) indices so its result is 2-D —
+    # a 2-D (rows, G*R) tensor has no free layout axes, so XLA cannot
+    # materialize layout-transposed duplicates of the (large) candidate
+    # tensor.  The 3-D (V, N, G*R) formulation was fine single-device but
+    # under vmap at batch 16 XLA's layout assignment emitted TWO full
+    # copies of the (B, V, N, G*R) gather output (~1 GB/scan-step of pure
+    # layout traffic) plus a detiled gather — the entire batch-16 DP
+    # regression (BASELINE config 3; see docs/performance.md).
+    fat = m.table[bucket.reshape(-1)]                            # (V*N, G*R)
+    fpq_f = fpq.reshape(-1)
+    ukx_f = ukx.reshape(-1)
+    uky_f = uky.reshape(-1)
+    ukz_f = ukz.reshape(-1)
     # A voxel occupies at most one slot of its bucket, so the slot select is
     # a masked SUM over sub-rows (not a sequential where-chain, which XLA
     # splits into several full-size fusions).  The selected words transpose
     # to the (V, K, N) cache layout (see CandidateSet).
-    words = jnp.zeros(bx.shape + (k,), jnp.uint32)
-    anyhit = jnp.zeros(bx.shape, bool)
+    words = jnp.zeros((fat.shape[0], k), jnp.uint32)
+    anyhit = jnp.zeros((fat.shape[0],), bool)
     for gi in range(g):
-        sub = fat[..., gi * r:(gi + 1) * r]
-        hit = ((sub[..., k] == fpq) & (sub[..., k + 1] == ukx)
-               & (sub[..., k + 2] == uky) & (sub[..., k + 3] == ukz))
-        words = words + jnp.where(hit[..., None], sub[..., :k],
+        sub = fat[:, gi * r:(gi + 1) * r]
+        hit = ((sub[:, k] == fpq_f) & (sub[:, k + 1] == ukx_f)
+               & (sub[:, k + 2] == uky_f) & (sub[:, k + 3] == ukz_f))
+        words = words + jnp.where(hit[:, None], sub[:, :k],
                                   jnp.uint32(0))
         anyhit = anyhit | hit
-    words = jnp.where(anyhit[..., None], words, jnp.uint32(PACKED_SENTINEL))
+    words = jnp.where(anyhit[:, None], words, jnp.uint32(PACKED_SENTINEL))
+    words = words.reshape(v_n + (k,))
     cand = CandidateSet(words=jnp.swapaxes(words, 1, 2), rel=rel,
                         base_x=base_x, base_y=base_y, base_z=base_z)
     if return_skip_bound:

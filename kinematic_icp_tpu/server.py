@@ -77,12 +77,17 @@ def _make_server_step(config: Config, codec: str):
 _slice_row = jax.jit(lambda chunk, i: jax.lax.dynamic_index_in_dim(
     chunk, i, axis=0, keepdims=False))
 
-#: append a (rows, 19) block of step rets into the device-side ret log at a
-#: traced offset — one compile per (log capacity, rows) pair, log2-many
-#: classes over a server's lifetime; the log is donated (updates in place)
-_log_update = jax.jit(
-    lambda log, block, off: jax.lax.dynamic_update_slice(
-        log, block, (off, 0)),
+#: append one (19,) step ret into the device-side ret log at a traced
+#: offset — one compile per log capacity (log2-many classes over a server's
+#: lifetime, never per row count); the log is donated (updates in place)
+_log_append = jax.jit(
+    lambda log, ret, off: jax.lax.dynamic_update_slice(
+        log, ret[None], (off, 0)),
+    donate_argnums=(0,))
+
+#: copy an old log into the head of a grown one (donating the new buffer)
+_log_copy = jax.jit(
+    lambda new, old: jax.lax.dynamic_update_slice(new, old, (0, 0)),
     donate_argnums=(0,))
 
 
@@ -368,26 +373,25 @@ class LidarOdometryServer:
             self._flush()
         return {"pose": None, "twist": None, "registered": True}
 
-    def _append_rets(self, rets):
-        """Append this flush's rets to the device log (growing by powers
-        of two; the log updates in place via donation)."""
-        block = jnp.stack(rets)
+    def _append_ret(self, ret):
+        """Append one ret to the device log (growing by powers of two; the
+        log updates in place via donation — fixed compile classes, never a
+        variable-length stack)."""
         cap = 0 if self._ret_log is None else self._ret_log.shape[0]
-        need = self._ret_count + len(rets)
-        if need > cap:
-            new_cap = 1 << max(8, (need - 1).bit_length())
-            new_log = jnp.zeros((new_cap, 19), jnp.float32)
+        if self._ret_count + 1 > cap:
+            new_log = jnp.zeros((1 << max(8, cap.bit_length() + 1), 19),
+                                jnp.float32)
             if self._ret_count:
-                new_log = _log_update(new_log, self._ret_log, 0)
+                new_log = _log_copy(new_log, self._ret_log)
             self._ret_log = new_log
-        self._ret_log = _log_update(self._ret_log, block, self._ret_count)
-        self._ret_count = need
+        self._ret_log = _log_append(self._ret_log, ret, self._ret_count)
+        self._ret_count += 1
 
     def _flush(self):
         """Upload staged streaming frames (one transfer) and dispatch them
         asynchronously, resolving pose records in arrival order."""
         records, self._stream_records = self._stream_records, []
-        rets = []
+        dispatched = 0
         if self._staging_rows:
             chunk = jnp.asarray(self._staging[:self._staging_rows])
             step = self._step_for(self._staging_bucket)
@@ -395,9 +399,10 @@ class LidarOdometryServer:
             if kind == "frame":
                 self.state, self._ovf_acc, ret = step(
                     self.state, self._ovf_acc,
-                    _slice_row(chunk, len(rets)),
+                    _slice_row(chunk, dispatched),
                     self._extrinsic_device())
-                rets.append(ret)
+                dispatched += 1
+                self._append_ret(ret)
                 self._last_ret = ret
                 self._frames_since_ovf_check += 1
             if stamp is not None:
@@ -405,18 +410,16 @@ class LidarOdometryServer:
                 # record time (see _register_streaming), so its pose is
                 # the latest preceding ret — or the initial pose if the
                 # stream started with stationary frames
-                idx = self._ret_count + len(rets) - 1
+                idx = self._ret_count - 1
                 if idx >= 0:
                     self.poses_with_stamps.append(
                         (stamp, _PendingPose(idx)))
                 else:
                     self.poses_with_stamps.append(
                         (stamp, np.asarray(self.state.pose, np.float64)))
-        if rets:
-            self._append_rets(rets)
         self._staging = None
         self._staging_rows = 0
-        if (self.overflow_check_interval and rets
+        if (self.overflow_check_interval and dispatched
                 and self._frames_since_ovf_check
                 >= self.overflow_check_interval):
             self._frames_since_ovf_check = 0

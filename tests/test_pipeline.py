@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from kinematic_icp_tpu import Config
 from kinematic_icp_tpu.models import pipeline
@@ -137,3 +138,24 @@ class TestDeterminism:
                 jnp.asarray(mask[perm]), pose)
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
                                    rtol=1e-5, atol=1e-4)
+
+
+class TestPadSequenceTruncation:
+    def test_truncation_warns_with_totals(self):
+        """Silent scan-tail truncation caused metre-level divergence on
+        long scans (round-5 seed-spread experiment, docs/accuracy.md) —
+        pad_sequence must warn with the dropped-point total."""
+        import warnings
+
+        from kinematic_icp_tpu.offline import pad_sequence
+
+        cfg = Config(max_points=1024)
+        frames = [(np.zeros((1500, 3), np.float32),
+                   np.zeros(1500, np.float32)),
+                  (np.zeros((900, 3), np.float32),
+                   np.zeros(900, np.float32))]
+        with pytest.warns(UserWarning, match=r"dropped 476 .* 1/2"):
+            pad_sequence(frames, None, cfg)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            pad_sequence(frames[1:], None, cfg)  # no truncation: no warning

@@ -24,8 +24,16 @@ TRACE_DIR = "/tmp/kicp_trace"
 def main():
     # TRACE_LARGE=1 traces the realistic 64K-point regime instead of the
     # default 8K bench config; TRACE_EXACT=1 traces the reference-exact
-    # reassociation mode at its own best table shape (G=4 x 16384 buckets).
-    if os.environ.get("TRACE_EXACT"):
+    # reassociation mode at its own best table shape (G=4 x 16384 buckets);
+    # TRACE_BATCH=N traces the batched-DP runner (bench small regime) at
+    # batch N — used to localize the batch-16 regression (VERDICT r4 #2).
+    batch = int(os.environ.get("TRACE_BATCH", "0"))
+    if batch:
+        cfg = Config(max_points=4096, max_downsampled=4096, max_source=1024,
+                     map_capacity=1 << 14, max_probes=8, voxel_size=1.0,
+                     max_range=60.0, deskew=True)
+        seq = synthetic.make_sequence(50)
+    elif os.environ.get("TRACE_EXACT"):
         cfg = Config(max_points=65536, max_downsampled=8192,
                      max_source=1024, map_capacity=1 << 16, max_probes=4,
                      voxel_size=1.0, max_range=60.0, deskew=True,
@@ -44,15 +52,39 @@ def main():
                      deskew=True)
         seq = synthetic.make_sequence(50)
     pts, ts, mask, has_ts, rels = pad_sequence(seq["frames"], seq["rel_odometry"], cfg)
-    runner = make_sequence_runner(cfg)
     ext = jnp.eye(4)
-    dev = (jnp.asarray(pts), jnp.asarray(ts), jnp.asarray(mask),
-           jnp.asarray(has_ts), ext, jnp.asarray(rels))
-    state = pipeline.init_state(cfg)
+    if batch:
+        from kinematic_icp_tpu.offline import (init_batched_state,
+                                               make_batched_sequence_runner)
+        runner = make_batched_sequence_runner(cfg)
+        dev = tuple(
+            jnp.asarray(np.broadcast_to(
+                np.asarray(a)[:, None],
+                (a.shape[0], batch) + a.shape[1:]))
+            for a in (pts, ts, mask, has_ts, rels))
+        dev = dev[:4] + (ext,) + dev[4:]
+        mk_state = lambda: init_batched_state(cfg, batch)  # noqa: E731
+    else:
+        runner = make_sequence_runner(cfg)
+        dev = (jnp.asarray(pts), jnp.asarray(ts), jnp.asarray(mask),
+               jnp.asarray(has_ts), ext, jnp.asarray(rels))
+        mk_state = lambda: pipeline.init_state(cfg)  # noqa: E731
+    state = mk_state()
+    t0 = time.time()
     _, poses, _, _ = runner(state, *dev)
     np.asarray(poses)
+    print(f"compile+first: {time.time()-t0:.1f} s")
 
-    state = pipeline.init_state(cfg)
+    state = mk_state()
+    jax.tree.map(lambda x: x.block_until_ready(), state)
+    t0 = time.time()
+    _, poses, _, _ = runner(state, *dev)
+    np.asarray(poses)
+    wall = time.time() - t0
+    n_work = 50 * max(batch, 1)
+    print(f"untraced run: {wall:.3f} s = {n_work / wall:.1f} frames/s aggregate")
+
+    state = mk_state()
     jax.tree.map(lambda x: x.block_until_ready(), state)
     os.system(f"rm -rf {TRACE_DIR}")
     with jax.profiler.trace(TRACE_DIR):
