@@ -525,9 +525,11 @@ def main():
             # ~2 chunks + a drain run untimed so one-time costs
             # (step/slicer/ret-log compiles) stay out of the steady-state
             # window, mirroring the sync numbers' warm-frame exclusion.
-            for codec in ("f32", "u16"):
+            for codec, mode in (("f32", "steps"), ("u16", "steps"),
+                                ("u16", "scan")):
                 s2 = LidarOdometryServer(cfg, extrinsic=seq["extrinsic"],
-                                         upload=codec, stream_chunk=chunk)
+                                         upload=codec, stream_chunk=chunk,
+                                         stream_mode=mode)
                 w = min(2 * chunk + 1, max(2, len(frames) // 3))
                 for i in range(w):
                     p, t = frames[i]
@@ -550,8 +552,10 @@ def main():
                     s2.register_frame(p, t, seq["rel_odometry"][i],
                                       stamp=0.1 * (i + 1), blocking=False)
                 s2.drain()
-                fps_key = ("streaming_fps" if codec == "f32"
-                           else "streaming_fps_quantized")
+                fps_key = {("f32", "steps"): "streaming_fps",
+                           ("u16", "steps"): "streaming_fps_quantized",
+                           ("u16", "scan"): "streaming_fps_scan"}[
+                    (codec, mode)]
                 out[fps_key] = round((end - w) / dt, 1)
                 out[f"upload_bytes_per_frame_{codec}"] = \
                     packing.packed_bytes(bucket, codec)
@@ -559,10 +563,17 @@ def main():
                     q_ate = float(ate_rmse(
                         sync_poses, [p for _, p in s2.poses_with_stamps],
                         align=False))
-                    out["quantized_ate_vs_sync_m"] = round(q_ate, 4)
-                    out["quantized_ate_floor_m"] = round(chaos_floor_m, 4)
-                    out["quantized_ate_pass"] = bool(
-                        q_ate <= max(0.05, 3.0 * chaos_floor_m))
+                    key = ("quantized_ate_vs_sync_m" if mode == "steps"
+                           else "scan_mode_ate_vs_sync_m")
+                    out[key] = round(q_ate, 4)
+                    if mode == "steps":
+                        out["quantized_ate_floor_m"] = round(
+                            chaos_floor_m, 4)
+                        out["quantized_ate_pass"] = bool(
+                            q_ate <= max(0.05, 3.0 * chaos_floor_m))
+                    else:
+                        out["scan_mode_ate_pass"] = bool(
+                            q_ate <= max(0.05, 3.0 * chaos_floor_m))
             out["streaming_vs_sync_speedup"] = round(
                 out["streaming_fps"] / out["online_fps"], 2)
             return out
@@ -637,6 +648,8 @@ def main():
             "streaming_fps_64k": ol["large_64k"]["streaming_fps"],
             "streaming_quantized_fps_64k":
                 ol["large_64k"].get("streaming_fps_quantized"),
+            "streaming_scan_fps_64k":
+                ol["large_64k"].get("streaming_fps_scan"),
             "streaming_vs_sync_64k":
                 ol["large_64k"]["streaming_vs_sync_speedup"],
             "quantized_ate_pass":

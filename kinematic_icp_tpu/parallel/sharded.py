@@ -21,6 +21,18 @@ regardless of point count.
 All collectives ride the ``map`` axis only; the ``data`` axis never
 communicates (sequences are independent), so on a pod slice the map axis
 should be laid out on ICI-adjacent devices.
+
+Why the sharded GN uses the XLA ``while_loop`` lowering and not the fused
+Pallas kernel (``Config.gn_backend`` is ignored here by design, not
+omission): the Pallas kernel fuses the ENTIRE GN iteration loop —
+re-selection, reduction, solve, convergence — into one device kernel, but
+with a sharded map every iteration needs a cross-shard ``pmin`` to pick
+each query's winning shard, and collectives cannot execute inside a
+Mosaic kernel.  Splitting the kernel at the collective boundary would
+re-introduce exactly the per-iteration launch overhead the kernel exists
+to remove.  The sharded formulation instead keeps the per-iteration
+payload tiny (4 B/query + 32 B) so the XLA loop is collective-bound, not
+launch-bound, on real interconnects.
 """
 
 from __future__ import annotations

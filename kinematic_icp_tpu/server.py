@@ -77,6 +77,44 @@ def _make_server_step(config: Config, codec: str):
 _slice_row = jax.jit(lambda chunk, i: jax.lax.dynamic_index_in_dim(
     chunk, i, axis=0, keepdims=False))
 
+
+@functools.lru_cache(maxsize=64)
+def _make_chunk_runner(config: Config, codec: str, rows: int):
+    """Jitted whole-chunk step for ``stream_mode="scan"``:
+    (state, ovf_acc, chunk (rows, W) u16, ext) ->
+    (state', ovf_acc', rets (rows, 19) f32).
+
+    One dispatch advances ``rows`` frames via ``lax.scan`` — on a degraded
+    tunnel link even async dispatch submission costs milliseconds, so the
+    per-frame-dispatch streaming mode ("steps") can stay link-bound;
+    this runner removes that by construction.  Partial chunks pad with
+    all-zero buffers (header active flag = 0), whose state updates are
+    write-masked exactly like the offline runner's stationary gate — so
+    there is ONE compile class per (config, codec, chunk) regardless of
+    how many frames a flush carries.
+    """
+    bucket = config.max_points
+
+    def fn(state, ovf_acc, chunk, extrinsic):
+        def body(carry, packed):
+            st, acc = carry
+            with jax.default_matmul_precision("highest"):
+                pts, ts, mask, has_ts, rel, active = packing.unpack_frame(
+                    packed, bucket, codec, return_active=True)
+                st, out = pipeline.register_frame(
+                    st, pts, ts, mask, has_ts, extrinsic, rel,
+                    config=config, active=active)
+                acc = acc + out.overflow
+                ret = jnp.concatenate([
+                    st.pose.reshape(-1).astype(jnp.float32),
+                    jax.lax.bitcast_convert_type(acc, jnp.float32)])
+            return (st, acc), ret
+
+        (state, acc), rets = jax.lax.scan(body, (state, ovf_acc), chunk)
+        return state, acc, rets
+
+    return jax.jit(fn, donate_argnums=(0, 1))
+
 #: append one (19,) step ret into the device-side ret log at a traced
 #: offset — one compile per log capacity (log2-many classes over a server's
 #: lifetime, never per row count); the log is donated (updates in place)
@@ -88,6 +126,12 @@ _log_append = jax.jit(
 #: copy an old log into the head of a grown one (donating the new buffer)
 _log_copy = jax.jit(
     lambda new, old: jax.lax.dynamic_update_slice(new, old, (0, 0)),
+    donate_argnums=(0,))
+
+#: append a whole (rows, 19) ret block (chunk-scan mode) at a traced offset
+_log_append_block = jax.jit(
+    lambda log, block, off: jax.lax.dynamic_update_slice(
+        log, block, (off, 0)),
     donate_argnums=(0,))
 
 
@@ -121,6 +165,16 @@ class LidarOdometryServer:
         link's fixed per-transfer floor, so chunking divides that floor by
         K; latency of the FIRST pose in a chunk grows by the K-frame
         staging window (throughput/latency trade, disclosed in docs).
+      stream_mode: "steps" (default) dispatches the SAME per-frame
+        compiled step on device-side slices of each uploaded chunk —
+        streaming trajectories are bitwise identical to blocking mode by
+        construction.  "scan" advances the whole chunk in ONE dispatch
+        (``lax.scan`` over the rows; partial chunks pad with inactive
+        all-zero frames) — highest throughput on links where even async
+        dispatch submission is expensive; the scan program is compiled
+        separately from the blocking step, so equality to blocking mode
+        is to the last ulp, not bit-for-bit (tested to 1e-6 and
+        ATE-indistinguishable).
       overflow_check_interval: in streaming mode, sync the device-side
         overflow totals every this many registered frames so a capacity
         problem warns mid-stream instead of only at ``drain()`` (one tiny
@@ -131,13 +185,16 @@ class LidarOdometryServer:
                  server_config: ServerConfig | None = None,
                  extrinsic=None, initial_pose=None, dtype=jnp.float32,
                  upload: str = "f32", stream_chunk: int = 8,
+                 stream_mode: str = "steps",
                  overflow_check_interval: int = 64):
         from .utils.compilation_cache import enable_compilation_cache
         enable_compilation_cache()
         self.config = config or Config()
         self.server_config = server_config or ServerConfig()
         assert upload in packing.CODECS, upload
+        assert stream_mode in ("steps", "scan"), stream_mode
         self.upload = upload
+        self.stream_mode = stream_mode
         self.stream_chunk = max(1, int(stream_chunk))
         self.overflow_check_interval = int(overflow_check_interval)
         self._extrinsic = np.eye(4) if extrinsic is None else np.asarray(
@@ -387,39 +444,87 @@ class LidarOdometryServer:
         self._ret_log = _log_append(self._ret_log, ret, self._ret_count)
         self._ret_count += 1
 
+    def _append_block(self, rets):
+        """Append a whole (rows, 19) ret block (chunk-scan mode)."""
+        rows = int(rets.shape[0])
+        cap = 0 if self._ret_log is None else self._ret_log.shape[0]
+        need = self._ret_count + rows
+        if need > cap:
+            new_cap = 1 << max(8, (need - 1).bit_length())
+            new_log = jnp.zeros((new_cap, 19), jnp.float32)
+            if self._ret_count:
+                new_log = _log_copy(new_log, self._ret_log)
+            self._ret_log = new_log
+        self._ret_log = _log_append_block(self._ret_log, rets,
+                                          self._ret_count)
+        self._ret_count = need
+
     def _flush(self):
         """Upload staged streaming frames (one transfer) and dispatch them
         asynchronously, resolving pose records in arrival order."""
         records, self._stream_records = self._stream_records, []
-        dispatched = 0
-        if self._staging_rows:
-            chunk = jnp.asarray(self._staging[:self._staging_rows])
-            step = self._step_for(self._staging_bucket)
+        staged = self._staging_rows
+        scan_mode = self.stream_mode == "scan"
+        cur = self._ret_count - 1   # log row of the latest known pose
+        # A stationary record arriving before ANY registered frame resolves
+        # to the pre-stream pose; in scan mode the whole chunk dispatches
+        # before the record walk, so capture that pose now (the state is
+        # settled — only the very first flush can need it).
+        fallback_pose = None
+        if (staged and scan_mode and cur < 0
+                and records and records[0][0] == "skip"):
+            fallback_pose = np.asarray(self.state.pose, np.float64)
+        if staged:
+            if scan_mode:
+                # ONE dispatch advances the whole chunk; all-zero padding
+                # rows are inactive frames (write-masked state), so every
+                # flush shares one compile class.  All stream_chunk rows
+                # (pads included) append to the log — a pad row carries
+                # the running pose/overflow unchanged, so index math
+                # below stays valid.
+                runner = _make_chunk_runner(
+                    self.config.replace(max_points=self._staging_bucket),
+                    self.upload, self.stream_chunk)
+                base = self._ret_count
+                self.state, self._ovf_acc, rets = runner(
+                    self.state, self._ovf_acc, jnp.asarray(self._staging),
+                    self._extrinsic_device())
+                self._append_block(rets)
+                self._last_ret = rets[staged - 1]
+                self._frames_since_ovf_check += staged
+            else:
+                chunk = jnp.asarray(self._staging[:staged])
+                step = self._step_for(self._staging_bucket)
+        nframe = 0
         for kind, stamp in records:
             if kind == "frame":
-                self.state, self._ovf_acc, ret = step(
-                    self.state, self._ovf_acc,
-                    _slice_row(chunk, dispatched),
-                    self._extrinsic_device())
-                dispatched += 1
-                self._append_ret(ret)
-                self._last_ret = ret
-                self._frames_since_ovf_check += 1
+                if scan_mode:
+                    cur = base + nframe
+                else:
+                    self.state, self._ovf_acc, ret = step(
+                        self.state, self._ovf_acc,
+                        _slice_row(chunk, nframe),
+                        self._extrinsic_device())
+                    self._append_ret(ret)
+                    self._last_ret = ret
+                    self._frames_since_ovf_check += 1
+                    cur = self._ret_count - 1
+                nframe += 1
             if stamp is not None:
                 # a skip record only exists when frames were in flight at
                 # record time (see _register_streaming), so its pose is
                 # the latest preceding ret — or the initial pose if the
                 # stream started with stationary frames
-                idx = self._ret_count - 1
-                if idx >= 0:
+                if cur >= 0:
                     self.poses_with_stamps.append(
-                        (stamp, _PendingPose(idx)))
+                        (stamp, _PendingPose(cur)))
                 else:
                     self.poses_with_stamps.append(
-                        (stamp, np.asarray(self.state.pose, np.float64)))
+                        (stamp, fallback_pose if fallback_pose is not None
+                         else np.asarray(self.state.pose, np.float64)))
         self._staging = None
         self._staging_rows = 0
-        if (self.overflow_check_interval and dispatched
+        if (self.overflow_check_interval and staged
                 and self._frames_since_ovf_check
                 >= self.overflow_check_interval):
             self._frames_since_ovf_check = 0

@@ -16,7 +16,10 @@ The fix is to ship each frame as ONE flat uint16 buffer:
 header words (all little-endian u16):
   [0:2]   valid point count (u32 as lo, hi)
   [2]     has_timestamps flag
-  [3]     reserved
+  [3]     active flag (1 = real frame; an all-zero buffer is an inactive
+          padding frame whose state updates are write-masked — used by the
+          chunk-scan streaming mode to pad partial chunks to one static
+          shape)
   [4:36]  relative_odometry 4x4 f32, row-major (2 words per value)
   [36:42] position offset xyz f32 (quantized codec)
   [42:48] position scale  xyz f32 (quantized codec)
@@ -98,6 +101,7 @@ def pack_frame_into(buf: np.ndarray, points, timestamps, relative_odometry,
     buf[0] = n & 0xFFFF
     buf[1] = n >> 16
     buf[2] = 1 if has_ts else 0
+    buf[3] = 1  # active (zeroed padding buffers stay inactive)
     buf[4:36] = _f32_words(np.asarray(relative_odometry, np.float32))
     if codec == "f32":
         if n:
@@ -142,9 +146,9 @@ def _words_to_f32(w):
         w[0::2] | (w[1::2] << 16), jnp.float32)
 
 
-def unpack_frame(packed, bucket: int, codec: str):
+def unpack_frame(packed, bucket: int, codec: str, return_active=False):
     """(W,) u16 device buffer -> (points (B,3) f32, ts (B,), mask (B,),
-    has_timestamps scalar bool, relative_odometry (4,4) f32)."""
+    has_timestamps scalar bool, relative_odometry (4,4) f32[, active])."""
     assert codec in CODECS, codec
     hdr = packed[:HEADER_WORDS]
     count = hdr[0].astype(jnp.uint32) | (hdr[1].astype(jnp.uint32) << 16)
@@ -162,4 +166,10 @@ def unpack_frame(packed, bucket: int, codec: str):
                * scale[None, :])
         ts = body[3 * bucket:4 * bucket].astype(jnp.float32) * (1.0 / 65535.0)
     mask = jnp.arange(bucket, dtype=jnp.uint32) < count
+    if return_active:
+        # identity rel for inactive (all-zero) padding buffers: their rel
+        # words decode to a zero matrix, which would poison the pose
+        # composition even under write-masking
+        rel = jnp.where(hdr[3] > 0, rel, jnp.eye(4, dtype=rel.dtype))
+        return pts, ts, mask, has_ts, rel, hdr[3] > 0
     return pts, ts, mask, has_ts, rel

@@ -135,6 +135,32 @@ class TestStreamingServer:
         # frame 0's identity delta + the two injected stationary frames
         assert sn.frames_skipped == sb.frames_skipped == 3
 
+    def test_scan_stream_mode_matches_steps(self):
+        """stream_mode='scan' (one dispatch per chunk, padded partial
+        chunks) must match the per-frame 'steps' mode to float tolerance
+        and produce identical overflow accounting."""
+        from kinematic_icp_tpu.server import LidarOdometryServer
+        cfg = Config(max_points=4096, max_downsampled=4096, max_source=1024,
+                     map_capacity=1 << 13, max_range=60.0, deskew=True)
+        seq = synthetic.make_sequence(NUM_FRAMES)  # 12 frames, chunk 5:
+        # two full chunks + one partial (2 rows + 3 inactive pads)
+        servers = {m: LidarOdometryServer(cfg, extrinsic=seq["extrinsic"],
+                                          stream_chunk=5, stream_mode=m)
+                   for m in ("steps", "scan")}
+        for i, (p, t) in enumerate(seq["frames"]):
+            for s in servers.values():
+                s.register_frame(p, t, seq["rel_odometry"][i],
+                                 stamp=0.1 * (i + 1), blocking=False)
+        for s in servers.values():
+            s.drain()
+        a = np.asarray([p for _, p in servers["steps"].poses_with_stamps])
+        b = np.asarray([p for _, p in servers["scan"].poses_with_stamps])
+        np.testing.assert_allclose(a, b, atol=1e-6)
+        assert (servers["scan"].overflow_stats
+                == servers["steps"].overflow_stats)
+        assert (servers["scan"].frames_registered
+                == servers["steps"].frames_registered)
+
     def test_drain_accounts_overflow(self):
         from kinematic_icp_tpu.server import LidarOdometryServer
         # Tiny capacities force downsample/source drops every frame.

@@ -134,6 +134,28 @@ class TestShardedSequenceRunner:
             np.testing.assert_allclose(
                 poses[:, i], np.asarray(results[i]), atol=1e-5)
 
+    def test_run_device_api(self, sequences):
+        """BatchedOdometryRunner.run_device == run() on the same mesh,
+        including ragged sequence lengths."""
+        mesh = make_mesh(data=2, map=2, devices=jax.devices()[:4])
+        ragged = [
+            {"frames": sequences[0]["frames"],
+             "rel_odometry": sequences[0]["rel_odometry"]},
+            {"frames": sequences[1]["frames"][:NUM_FRAMES - 3],
+             "rel_odometry": sequences[1]["rel_odometry"][:NUM_FRAMES - 3]},
+        ]
+        r1 = BatchedOdometryRunner(CFG, batch=2, mesh=mesh)
+        host = [list(map(np.asarray, p)) for p in r1.run(
+            [dict(s) for s in ragged])]
+        r2 = BatchedOdometryRunner(CFG, batch=2, mesh=mesh)
+        dev = r2.run_device(ragged)
+        assert len(dev[0]) == NUM_FRAMES
+        assert len(dev[1]) == NUM_FRAMES - 3
+        for i in range(2):
+            np.testing.assert_allclose(
+                np.asarray(dev[i]), np.asarray(host[i][:len(dev[i])]),
+                atol=1e-5)
+
     def test_matches_single_device(self, sequences):
         from kinematic_icp_tpu.parallel.sharded import (
             make_sharded_sequence_runner)
