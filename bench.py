@@ -1,8 +1,10 @@
 """Benchmark: odometry frames/sec per chip vs the compiled-CPU reference.
 
-Prints ONE JSON line:
+Prints TWO JSON lines: first the full result
   {"metric": "frames_per_sec_per_chip", "value": N, "unit": "frames/s",
-   "vs_baseline": N / <native compiled-CPU reference fps>}
+   "vs_baseline": N / <native fps>, "details": {...}}
+then LAST a compact summary with the same headline fields (so a
+truncated tail capture still contains the headline — VERDICT r4 #6).
 
 Headline workload: realistic Velodyne-class scans (~58K points/frame, ground
 returns — the reference's true regime, README.md:100-112) over a long

@@ -3,7 +3,7 @@
 The framework's two parallel axes (SURVEY.md section 2e / 7):
   * ``data`` — independent sequences (embarrassingly parallel batch DP),
   * ``map``  — voxel hash-table slots sharded across chips, with psum'd
-    2-DoF normal equations and all-gathered NN candidates.
+    2-DoF normal equations and the packed-key pmin NN combine.
 
 The reference is single-process shared-memory (TBB); its only "axis" is
 threads over points.  Here intra-frame point parallelism is the VPU's job,

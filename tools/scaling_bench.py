@@ -8,7 +8,7 @@ frames/s and scaling efficiency vs single-device.  Two modes:
     batch-axis array sharded over a ('data',) mesh (GSPMD partitions the
     whole program; no collectives needed — the upper bound of scaling).
   * ``map`` — one batch of sequences with the voxel hash table sharded over
-    a ('map',) mesh (psum'd normal equations + all-gathered NN candidates;
+    a ('map',) mesh (psum'd normal equations + the (N,) pmin NN combine;
     the communication-bound mode, parallel/sharded.py).
 
 Usable today in three settings, unchanged:
