@@ -16,9 +16,11 @@ buffer (``utils/packing.py``) carrying points + timestamps + count + the
 odometry delta, unpacked on device inside the jitted step.  Blocking mode
 costs exactly one upload + one (19,)-float readback (pose and the running
 overflow totals bit-packed together); streaming mode stages ``stream_chunk``
-frames host-side and uploads them as one transfer, then dispatches the SAME
-per-frame step executable on device-side slices — so blocking and streaming
-trajectories are bitwise identical by construction.
+frames host-side and uploads them as one transfer, then (default
+``stream_mode="steps"``) dispatches the SAME per-frame step executable on
+device-side slices — so blocking and streaming trajectories are bitwise
+identical by construction — or (``stream_mode="scan"``) advances the whole
+chunk in one ``lax.scan`` dispatch, equal to the last ulp.
 """
 
 from __future__ import annotations
