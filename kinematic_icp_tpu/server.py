@@ -296,6 +296,32 @@ class LidarOdometryServer:
         return _make_server_step(
             self.config.replace(max_points=bucket), self.upload)
 
+    def warmup(self, num_points: int, streaming: bool = False):
+        """Precompile the step executable(s) for scans of ``num_points``.
+
+        The first scan of a fresh bucket otherwise pays the full XLA
+        compile (~15-30 s on a TPU without a warm persistent cache)
+        inside its ``register_frame`` call — a production server should
+        warm up before going live.  Ahead-of-time lowering via abstract
+        shapes: no device state is touched and nothing executes.  With
+        ``streaming=True`` the chunk-scan runner for ``stream_mode="scan"``
+        is compiled as well (the "steps" streaming mode reuses the
+        blocking executable).
+        """
+        bucket = next_bucket(max(num_points, 1), self.config.max_points)
+        cfg = self.config.replace(max_points=bucket)
+        state = jax.eval_shape(lambda: pipeline.init_state(cfg, self.dtype))
+        acc = jax.ShapeDtypeStruct((3,), jnp.int32)
+        ext = jax.ShapeDtypeStruct((4, 4), jnp.float32)
+        packed = jax.ShapeDtypeStruct(
+            (packing.packed_words(bucket, self.upload),), jnp.uint16)
+        self._step_for(bucket).lower(state, acc, packed, ext).compile()
+        if streaming and self.stream_mode == "scan":
+            chunk = jax.ShapeDtypeStruct(
+                (self.stream_chunk, packed.shape[0]), jnp.uint16)
+            _make_chunk_runner(cfg, self.upload, self.stream_chunk).lower(
+                state, acc, chunk, ext).compile()
+
     # ------------------------------------------------------------------
     def register_frame(self, points, timestamps=None, relative_odometry=None,
                        stamp: float | None = None, blocking: bool = True):

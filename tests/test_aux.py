@@ -240,3 +240,26 @@ class TestVisualization:
         p2 = str(tmp_path / "grid.ply")
         write_voxel_grid_ply(p2, [[0, 0, 0]], 0.5)
         assert "element edge 12" in open(p2).read()
+
+
+class TestServerWarmup:
+    def test_warmup_precompiles_without_state_change(self):
+        """warmup() must lower+compile ahead of time (first register_frame
+        then runs without tracing) and leave server state untouched."""
+        import jax
+
+        from kinematic_icp_tpu.server import LidarOdometryServer
+        cfg = Config(max_points=2048, max_downsampled=2048, max_source=512,
+                     map_capacity=1 << 12, max_range=50.0, deskew=True)
+        seq = synthetic.make_sequence(2)
+        s = LidarOdometryServer(cfg, extrinsic=seq["extrinsic"],
+                                stream_mode="scan", stream_chunk=2)
+        pose_before = s.pose.copy()
+        s.warmup(1500, streaming=True)
+        assert s.frames_registered == 0
+        np.testing.assert_array_equal(s.pose, pose_before)
+        # the warmed executable is the one register_frame uses
+        with jax.log_compiles(False):
+            r = s.register_frame(seq["frames"][1][0], seq["frames"][1][1],
+                                 seq["rel_odometry"][1], stamp=0.1)
+        assert r["registered"] and np.all(np.isfinite(r["pose"]))
